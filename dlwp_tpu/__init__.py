@@ -1,0 +1,29 @@
+"""DLWP-TPU: a TPU-native deep-learning weather prediction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of jweyn/DLWP
+(reference surveyed in SURVEY.md): CNN-based global weather prediction with
+autoregressive rollout, a spectral barotropic vorticity dynamical core, the
+full data pipeline (acquisition -> predictor files -> device-ready batches),
+forecast verification, and plotting -- all built TPU-first:
+
+- compute path: jit-compiled JAX with static shapes, ``lax.scan`` for time
+  integration and autoregressive rollout, Pallas kernels for hot stencils;
+- spectral transforms as batched matmuls on the MXU (no Fortran SPHEREPACK);
+- scaling via ``jax.sharding.Mesh`` + ``shard_map`` (data + lat-band spatial
+  decomposition with ICI halo exchange), not ``multi_gpu_model``.
+
+Subpackages
+-----------
+- :mod:`dlwp_tpu.grid`       -- lat/lon grids, quadrature, insolation
+- :mod:`dlwp_tpu.spectral`   -- spherical-harmonic transform engine
+- :mod:`dlwp_tpu.barotropic` -- barotropic vorticity dynamical core
+- :mod:`dlwp_tpu.ops`        -- padding/conv/pool stencil ops + losses
+- :mod:`dlwp_tpu.models`     -- neural network model API (flax)
+- :mod:`dlwp_tpu.data`       -- predictor files, samplers, acquisition
+- :mod:`dlwp_tpu.train`      -- training loop, checkpointing, callbacks
+- :mod:`dlwp_tpu.forecast`   -- autoregressive rollout + verification
+- :mod:`dlwp_tpu.parallel`   -- meshes, shardings, halo exchange
+- :mod:`dlwp_tpu.utils`      -- serialization, reflection, misc helpers
+"""
+
+__version__ = "0.1.0"
