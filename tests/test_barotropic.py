@@ -1,0 +1,182 @@
+"""Tests for the barotropic vorticity dynamical core.
+
+Physics validation (Rossby-Haurwitz phase speed), scheme-structure checks
+against the reference's update interleave (DLWP/barotropic/model.py:126-159),
+and integration/overflow sanity per SURVEY.md section 4.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlwp_tpu.grid import LatLonGrid
+from dlwp_tpu.grid.latlon import EARTH_RADIUS, OMEGA
+from dlwp_tpu.barotropic import BarotropicModel, BarotropicModelPsi
+
+
+def rossby_haurwitz_vorticity(model, R=4, om=7.848e-6, K=7.848e-6):
+    grid = model.grid
+    a = grid.radius
+    lat = np.radians(grid.lat)[:, None]
+    lon = np.radians(grid.lon)[None, :]
+    psi = -(a**2) * om * np.sin(lat) + a**2 * K * np.cos(lat) ** R * np.sin(
+        lat
+    ) * np.cos(R * lon)
+    psi_spec = model.sh.analyze(jnp.asarray(psi))
+    return model.sh.laplacian_spec(psi_spec)
+
+
+class TestRossbyHaurwitz:
+    def test_phase_speed(self):
+        """The R=4 Rossby-Haurwitz wave must propagate at its analytic
+        angular speed nu = (R(3+R)omega - 2 Omega)/((1+R)(2+R))."""
+        grid = LatLonGrid.gaussian(64, 128)
+        model = BarotropicModel(
+            grid, 42, dt=600.0, damping_coefficient=0.0,
+            spectral_mode="standard", dtype=jnp.float64,
+        )
+        R, om = 4, 7.848e-6
+        state = model.from_vorticity_spec(rossby_haurwitz_vorticity(model))
+        nu = (R * (3 + R) * om - 2 * OMEGA) / ((1 + R) * (2 + R))
+
+        st2 = model.run(state, 144)  # one day at dt = 600 s
+        c0 = complex(state.vrt_spec[R, R + 1])
+        c1 = complex(st2.vrt_spec[R, R + 1])
+        measured = np.angle(c1 / c0) / (R * float(st2.t))
+        assert abs(abs(measured) - abs(nu)) / abs(nu) < 1e-3
+        # Robert filter should only weakly damp the amplitude over a day.
+        assert abs(abs(c1) / abs(c0) - 1.0) < 1e-3
+
+    def test_psi_form_phase_speed(self):
+        grid = LatLonGrid.gaussian(64, 128)
+        model = BarotropicModelPsi(
+            grid, 42, dt=600.0, damping_coefficient=0.0,
+            spectral_mode="standard", dtype=jnp.float64, correct_sh=False,
+        )
+        R, om = 4, 7.848e-6
+        state = model.from_vorticity_spec(rossby_haurwitz_vorticity(model))
+        nu = (R * (3 + R) * om - 2 * OMEGA) / ((1 + R) * (2 + R))
+        # Psi form omits planetary-vorticity advection beyond J(psi, zeta)
+        # with zeta relative... it advects relative vorticity only, so the
+        # expected phase speed differs: nu_psi = R(3+R)om/((1+R)(2+R)).
+        nu_psi = (R * (3 + R) * om) / ((1 + R) * (2 + R))
+        st2 = model.run(state, 72)
+        c0 = complex(state.vrt_spec[R, R + 1])
+        c1 = complex(st2.vrt_spec[R, R + 1])
+        measured = np.angle(c1 / c0) / (R * float(st2.t))
+        assert abs(abs(measured) - abs(nu_psi)) / abs(nu_psi) < 2e-2
+
+
+class TestSchemeStructure:
+    """Check the Robert/leapfrog interleave against a literal numpy
+    re-implementation of the reference update (model.py:126-159)."""
+
+    @pytest.mark.parametrize("mode", ["reference", "standard"])
+    def test_three_steps_match_literal_recurrence(self, mode):
+        grid = LatLonGrid.gaussian(24, 48)
+        model = BarotropicModel(
+            grid, 15, dt=1800.0, damping_coefficient=1e-4,
+            spectral_mode=mode, dtype=jnp.float64,
+        )
+        state0 = model.from_vorticity_spec(
+            rossby_haurwitz_vorticity(model, R=3)
+        )
+
+        # Literal recurrence with tendency delegated to the model.
+        vrt = np.asarray(state0.vrt_spec).copy()
+        prev = vrt.copy()
+        damping = np.asarray(model.damping)
+        r = model.robert_coefficient
+        dt = model.dt
+        states = [state0]
+        for step in range(3):
+            dzdt = np.asarray(model._tendency(jnp.asarray(vrt)))
+            dzdt = (dzdt - damping * prev) / (1.0 + damping * dt)
+            if step == 0:
+                new = vrt + dt * dzdt
+                vrt = vrt + r * (new - vrt)
+            else:
+                vrt = vrt + r * (prev - 2 * vrt)
+                new = prev + 2 * dt * dzdt
+                vrt = vrt + r * new
+            prev = vrt
+            vrt = new
+            states.append(model.step_forward(states[-1]))
+            np.testing.assert_allclose(
+                np.asarray(states[-1].vrt_spec), vrt, atol=1e-18
+            )
+            np.testing.assert_allclose(
+                np.asarray(states[-1].vrt_spec_prev), prev, atol=1e-18
+            )
+
+    def test_run_equals_repeated_steps(self):
+        grid = LatLonGrid.gaussian(24, 48)
+        model = BarotropicModel(grid, 15, dt=1800.0, dtype=jnp.float64)
+        s = model.from_vorticity_spec(rossby_haurwitz_vorticity(model, R=3))
+        s_scan = model.run(s, 5)
+        s_loop = s
+        for _ in range(5):
+            s_loop = model.step_forward(s_loop)
+        np.testing.assert_allclose(
+            np.asarray(s_scan.vrt_spec), np.asarray(s_loop.vrt_spec), atol=1e-16
+        )
+        assert int(s_scan.step) == 5
+        assert float(s_scan.t) == 5 * 1800.0
+
+
+class TestIntegration:
+    def test_z_roundtrip_consistency(self):
+        """from_z followed by z_grid must reproduce the truncated height
+        field (reference set_state round-trip property, model.py:99-124)."""
+        grid = LatLonGrid.regular(73, 144)
+        model = BarotropicModel(grid, 42, dt=1800.0, dtype=jnp.float64)
+        z = 5500.0 + 100.0 * np.random.RandomState(0).randn(73, 144)
+        state = model.from_z(jnp.asarray(z))
+        z1 = np.asarray(model.z_grid(state))
+        # z_grid(from_z(z)) is the spectral projection of z (not z itself);
+        # applying the cycle twice must be idempotent.
+        state2 = model.from_z(jnp.asarray(z1))
+        z2 = np.asarray(model.z_grid(state2))
+        np.testing.assert_allclose(z2, z1, atol=1e-6)
+
+    def test_144h_integration_stable(self):
+        """Reference benchmark config scaled down: T42 on the 2.5-degree
+        grid, dt = 0.5 h, 144 h (288 steps), damping 5e-6
+        (examples/run_barotropic.py:23-25,40-41). Must stay finite
+        (overflow check mirrors run_barotropic.py:52-53)."""
+        grid = LatLonGrid.regular(73, 144)
+        model = BarotropicModelPsi(
+            grid, 42, dt=1800.0, damping_coefficient=5e-6, dtype=jnp.float64
+        )
+        rng = np.random.RandomState(1)
+        # Smooth synthetic 500-hPa-like height field.
+        lat = np.radians(grid.lat)[:, None]
+        lon = np.radians(grid.lon)[None, :]
+        z = (
+            5500.0
+            - 300.0 * np.sin(lat) ** 2
+            + 80.0 * np.cos(lat) ** 3 * np.cos(3 * lon)
+            + 40.0 * np.cos(lat) ** 2 * np.sin(2 * lon + 1.0)
+        )
+        state = model.from_z(jnp.asarray(z))
+        final, times, zs = model.run_with_snapshots(state, 12, 24)
+        assert zs.shape == (12, 73, 144)
+        assert np.isfinite(np.asarray(zs)).all()
+        assert float(times[-1]) == 288 * 1800.0
+        # Heights should remain in a physically plausible range.
+        assert 4000.0 < np.asarray(zs)[-1].mean() < 7000.0
+
+    def test_batched_integration(self):
+        grid = LatLonGrid.gaussian(24, 48)
+        model = BarotropicModel(grid, 15, dt=1800.0, dtype=jnp.float64)
+        z = 5500.0 + 50.0 * np.random.RandomState(2).randn(4, 24, 48)
+        state = model.from_z(jnp.asarray(z))
+        assert state.vrt_spec.shape == (4, 16, 16)
+        out = model.run(state, 10)
+        assert out.vrt_spec.shape == (4, 16, 16)
+        # Each batch member must match its solo integration.
+        solo = model.run(model.from_z(jnp.asarray(z[2])), 10)
+        np.testing.assert_allclose(
+            np.asarray(out.vrt_spec[2]), np.asarray(solo.vrt_spec), atol=1e-14
+        )

@@ -1,0 +1,224 @@
+"""Tests for the spherical-harmonic transform engine.
+
+Test strategy per SURVEY.md section 4: round-trip identities, analytic
+spherical harmonics, operator eigenvalues, and pyspharm-compatible packing.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from math import factorial
+from scipy.special import lpmv
+
+from dlwp_tpu.grid import LatLonGrid
+from dlwp_tpu.spectral import SphericalHarmonics, legendre_tables
+
+
+def random_spec(sh, key=0, wind=False):
+    """Random valid coefficients of a real field (m=0 row real)."""
+    T = sh.truncation
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    spec = jax.random.normal(k1, (T + 1, T + 1)) + 1j * jax.random.normal(
+        k2, (T + 1, T + 1)
+    )
+    spec = spec * sh.mask
+    spec = spec.at[0].set(spec[0].real * sh.mask[0])
+    if wind:
+        spec = spec.at[:, 0].set(0.0)  # n = 0 carries no wind
+    return spec
+
+
+def pbar_reference(n, m, mu):
+    """Orthonormal associated Legendre via scipy (no Condon-Shortley)."""
+    norm = np.sqrt((2 * n + 1) / 2 * factorial(n - m) / factorial(n + m))
+    return norm * lpmv(m, n, mu) * (-1) ** m
+
+
+class TestLegendreTables:
+    def test_matches_scipy(self):
+        g = LatLonGrid.gaussian(32)
+        tab = legendre_tables(20, g.mu)
+        for n, m in [(0, 0), (3, 0), (5, 2), (10, 7), (20, 20)]:
+            np.testing.assert_allclose(
+                tab.P[m, :, n], pbar_reference(n, m, g.mu), atol=1e-13
+            )
+
+    def test_orthonormal_under_gauss_quadrature(self):
+        g = LatLonGrid.gaussian(48)
+        tab = legendre_tables(30, g.mu)
+        w = g.quad_weights
+        for m in [0, 1, 7, 30]:
+            S = tab.P[m][:, m:]
+            gram = S.T @ (w[:, None] * S)
+            np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-12)
+
+    def test_H_is_cos_times_derivative(self):
+        mu = np.linspace(-0.95, 0.95, 37)
+        h = 1e-6
+        tab = legendre_tables(15, mu)
+        tp = legendre_tables(15, mu + h)
+        tm = legendre_tables(15, mu - h)
+        cos = np.sqrt(1 - mu**2)
+        for n, m in [(3, 0), (5, 2), (10, 7), (15, 1)]:
+            fd = cos * (tp.P[m, :, n] - tm.P[m, :, n]) / (2 * h)
+            np.testing.assert_allclose(tab.H[m, :, n], fd, atol=1e-8)
+
+    def test_pole_regularity(self):
+        # G (m>=1) and H must be finite at the poles; P vanishes for m>=1.
+        g = LatLonGrid.regular(19)
+        tab = legendre_tables(10, g.mu)
+        assert np.isfinite(tab.G).all() and np.isfinite(tab.H).all()
+        assert np.abs(tab.P[1:, [0, -1], :]).max() == 0.0
+
+
+class TestScalarTransforms:
+    @pytest.mark.parametrize(
+        "grid,T",
+        [
+            (LatLonGrid.gaussian(32, 64), 20),
+            (LatLonGrid.regular(37, 72), 24),
+            (LatLonGrid.regular(73, 144), 71),
+        ],
+    )
+    def test_roundtrip_spec_grid_spec(self, grid, T):
+        sh = SphericalHarmonics.build(grid, T, dtype=jnp.float64)
+        spec = random_spec(sh)
+        out = sh.analyze(sh.synthesize(spec))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(spec), atol=1e-11)
+
+    def test_analysis_of_analytic_harmonic(self):
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 20, dtype=jnp.float64)
+        n, m = 6, 3
+        lat2 = np.radians(grid.lat)[:, None]
+        lon2 = np.radians(grid.lon)[None, :]
+        f = pbar_reference(n, m, np.sin(lat2)) * np.cos(m * lon2)
+        spec = np.asarray(sh.analyze(jnp.asarray(f)))
+        # One-sided Fourier convention: cos(m lon) -> coefficient 1/2 at m.
+        expect = np.zeros_like(spec)
+        expect[m, n] = 0.5
+        np.testing.assert_allclose(spec, expect, atol=1e-12)
+
+    def test_batched_leading_dims(self):
+        grid = LatLonGrid.gaussian(24, 48)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        f = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 24, 48))
+        spec = sh.analyze(f)
+        assert spec.shape == (2, 3, 16, 16)
+        f2 = sh.synthesize(spec)
+        assert f2.shape == (2, 3, 24, 48)
+        # Projection is idempotent.
+        np.testing.assert_allclose(
+            np.asarray(sh.synthesize(sh.analyze(f2))), np.asarray(f2), atol=1e-11
+        )
+
+    def test_laplacian_eigenfunction(self):
+        grid = LatLonGrid.regular(37, 72)
+        sh = SphericalHarmonics.build(grid, 24, dtype=jnp.float64)
+        n, m = 9, 4
+        spec = jnp.zeros((25, 25), dtype=jnp.complex128).at[m, n].set(1.0 + 0.5j)
+        f = sh.synthesize(spec)
+        lap = sh.laplacian(f)
+        expect = -n * (n + 1) / grid.radius**2 * f
+        scale = np.abs(np.asarray(expect)).max()
+        np.testing.assert_allclose(
+            np.asarray(lap), np.asarray(expect), atol=1e-10 * scale
+        )
+
+    def test_jit_compatible(self):
+        grid = LatLonGrid.gaussian(24, 48)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        f = jax.random.normal(jax.random.PRNGKey(0), (24, 48))
+        jitted = jax.jit(lambda x: sh.synthesize(sh.analyze(x)))
+        np.testing.assert_allclose(
+            np.asarray(jitted(f)), np.asarray(sh.synthesize(sh.analyze(f))), atol=1e-12
+        )
+
+
+class TestVectorTransforms:
+    @pytest.mark.parametrize(
+        "grid,T",
+        [
+            (LatLonGrid.gaussian(32, 64), 20),
+            (LatLonGrid.regular(73, 144), 71),
+            (LatLonGrid.regular(181, 360), 72),
+        ],
+    )
+    def test_vrtdiv_uv_roundtrip(self, grid, T):
+        sh = SphericalHarmonics.build(grid, T, dtype=jnp.float64)
+        vrt = random_spec(sh, key=1, wind=True)
+        div = random_spec(sh, key=2, wind=True)
+        u, v = sh.uv_from_vrtdiv(vrt, div)
+        vrt2, div2 = sh.vrtdiv_from_uv(u, v)
+        scale = np.abs(np.asarray(vrt)).max()
+        np.testing.assert_allclose(
+            np.asarray(vrt2), np.asarray(vrt), atol=1e-9 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(div2), np.asarray(div), atol=1e-9 * scale
+        )
+
+    def test_solid_body_rotation(self):
+        # u = U0 cos(lat) is vorticity 2 U0 sin(lat)/a, divergence 0.
+        grid = LatLonGrid.gaussian(48, 96)
+        sh = SphericalHarmonics.build(grid, 31, dtype=jnp.float64)
+        U0 = 30.0
+        u = jnp.asarray(np.broadcast_to(grid.coslat[:, None] * U0, grid.shape))
+        v = jnp.zeros_like(u)
+        vrt, div = sh.vrtdiv_from_uv(u, v)
+        vrt_grid = sh.synthesize(vrt)
+        expect = 2 * U0 * grid.mu[:, None] / grid.radius
+        np.testing.assert_allclose(
+            np.asarray(vrt_grid), np.broadcast_to(expect, grid.shape), atol=1e-12
+        )
+        assert np.abs(np.asarray(sh.synthesize(div))).max() < 1e-12
+
+    def test_gradients_of_harmonic(self):
+        # Zonal gradient of cos(m lon) harmonic: analytic in longitude.
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 20, dtype=jnp.float64)
+        n, m = 6, 3
+        spec = jnp.zeros((21, 21), dtype=jnp.complex128).at[m, n].set(0.5)
+        fx, fy = sh.gradients(spec)
+        lat2 = np.radians(grid.lat)[:, None]
+        lon2 = np.radians(grid.lon)[None, :]
+        P = pbar_reference(n, m, np.sin(lat2))
+        expect_fx = -m * P * np.sin(m * lon2) / (grid.radius * np.cos(lat2))
+        np.testing.assert_allclose(np.asarray(fx), expect_fx, atol=1e-14)
+        # Meridional gradient via finite differences in latitude.
+        h = 1e-5
+        Pp = pbar_reference(n, m, np.sin(lat2 + h))
+        Pm = pbar_reference(n, m, np.sin(lat2 - h))
+        expect_fy = (Pp - Pm) / (2 * h) * np.cos(m * lon2) / grid.radius
+        np.testing.assert_allclose(np.asarray(fy), expect_fy, atol=1e-8)
+
+    def test_gradients_finite_at_poles(self):
+        grid = LatLonGrid.regular(37, 72)
+        sh = SphericalHarmonics.build(grid, 24, dtype=jnp.float64)
+        spec = random_spec(sh, key=3)
+        fx, fy = sh.gradients(spec)
+        assert np.isfinite(np.asarray(fx)).all()
+        assert np.isfinite(np.asarray(fy)).all()
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        grid = LatLonGrid.gaussian(24, 48)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        spec = random_spec(sh)
+        packed = sh.pack(spec)
+        assert packed.shape == (sh.nspec,)
+        np.testing.assert_allclose(
+            np.asarray(sh.unpack(packed)), np.asarray(spec), atol=0
+        )
+
+    def test_wavenumber_convention(self):
+        # Reference computes total degree as m + wavenumbers[1]
+        # (model.py:69-71); check our packing provides that.
+        grid = LatLonGrid.gaussian(24, 48)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        m, nmm = sh.wavenumbers
+        assert len(m) == sh.nspec
+        assert (m + nmm <= 15).all()
+        assert (nmm >= 0).all()
