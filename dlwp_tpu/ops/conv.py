@@ -1,0 +1,127 @@
+"""Convolution primitives with spherical boundary treatment.
+
+- :func:`cyclic_conv2d` -- conv2d with periodic longitude (and configurable
+  latitude) boundaries: the fused equivalent of the reference's
+  ``PeriodicPadding2D -> ZeroPadding2D -> Conv2D(padding='valid')`` stack
+  (examples/train.py:152-158). XLA fuses the wrap-pad into the convolution's
+  input fetch, so no extra HBM copy materializes on TPU.
+
+- :func:`row_conv2d` -- latitude-dependent convolution: weights shared along
+  rows only (a per-latitude filter bank). The reference implements this as a
+  Python loop of per-row-slab ``K.conv2d`` calls concatenated
+  (``RowConnected2D``/``row_conv2d``, custom.py:695-896); here it is a single
+  patch-extraction + batched einsum, which XLA maps onto one big MXU
+  contraction batched over latitude -- no loop, no concat.
+
+Logical data format is NCHW (channels-first, matching the reference's CFS
+convention); weights are OIHW. XLA re-layouts for TPU internally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_tpu.ops.padding import pad_latlon
+
+
+def cyclic_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: tuple[int, int] = (1, 1),
+    lat_mode: str = "zero",
+    dilation: tuple[int, int] = (1, 1),
+    precision=None,
+) -> jax.Array:
+    """2-D convolution, periodic in longitude.
+
+    Args:
+        x: (..., C_in, H, W) input (any number of leading batch dims).
+        kernel: (C_out, C_in, kh, kw) filters.
+        strides: spatial strides.
+        lat_mode: latitude boundary treatment: 'zero' (reference's
+            ZeroPadding2D), 'edge' (FillPadding2D), 'reflect', 'symmetric'.
+        dilation: kernel dilation.
+
+    Returns:
+        (..., C_out, H', W') with W' = W/stride (longitude size preserved for
+        stride 1 -- "same" behavior via wrap), H' per lat padding.
+    """
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    eh = (kh - 1) * dilation[0]
+    ew = (kw - 1) * dilation[1]
+    pad_t, pad_b = eh // 2, eh - eh // 2
+    pad_l, pad_r = ew // 2, ew - ew // 2
+    x = pad_latlon(x, (pad_t, pad_b), (pad_l, pad_r), lat_mode=lat_mode)
+
+    batch_shape = x.shape[:-3]
+    x4 = x.reshape((-1,) + x.shape[-3:])
+    out = lax.conv_general_dilated(
+        x4,
+        kernel,
+        window_strides=strides,
+        padding="VALID",
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
+    )
+    return out.reshape(batch_shape + out.shape[1:])
+
+
+def row_conv2d(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    lat_mode: str = "zero",
+    lon_periodic: bool = True,
+) -> jax.Array:
+    """Latitude-dependent (row-local) convolution.
+
+    Semantics of the reference's ``RowConnected2D`` (custom.py:695-838):
+    each output latitude row has its own (kh, kw, C_in, C_out) filter;
+    weights are shared only along longitude. Stride 1, 'same' spatial size.
+
+    Args:
+        x: (..., C_in, H, W).
+        weights: (H, C_out, C_in, kh, kw) per-row filter bank.
+        bias: optional (H, C_out) per-row bias (the reference uses one bias
+            per output row when use_bias=True, custom.py:800-812).
+        lat_mode: latitude boundary ('zero' etc.).
+        lon_periodic: wrap longitude (True matches spherical geometry).
+
+    Returns:
+        (..., C_out, H, W).
+
+    Implementation: extract kh*kw shifted views (static slices), stack into a
+    patch tensor (..., C_in*kh*kw, H, W), then contract with the per-row bank
+    via einsum 'hoi,...ihw->...ohw' -- one MXU-batched contraction over H.
+    """
+    H, C_out, C_in, kh, kw = weights.shape
+    assert x.shape[-2] == H, f"input H {x.shape[-2]} != weight rows {H}"
+    assert x.shape[-3] == C_in
+
+    pad_t, pad_b = (kh - 1) // 2, (kh - 1) - (kh - 1) // 2
+    pad_l, pad_r = (kw - 1) // 2, (kw - 1) - (kw - 1) // 2
+    if lon_periodic:
+        xp = pad_latlon(x, (pad_t, pad_b), (pad_l, pad_r), lat_mode=lat_mode)
+    else:
+        from dlwp_tpu.ops.padding import pad_constant
+
+        xp = pad_constant(x, ((pad_t, pad_b), (pad_l, pad_r)))
+
+    W = x.shape[-1]
+    #
+
+    patches = [
+        lax.slice_in_dim(lax.slice_in_dim(xp, i, i + H, axis=-2), j, j + W, axis=-1)
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    # (..., kh*kw, C_in, H, W) -> contract (kh*kw, C_in) against the bank.
+    p = jnp.stack(patches, axis=-4)
+    wflat = weights.transpose(0, 1, 3, 4, 2).reshape(H, C_out, kh * kw, C_in)
+    out = jnp.einsum("hoki,...kihw->...ohw", wflat, p)
+    if bias is not None:
+        out = out + bias.T[..., :, :, None]  # (C_out, H) -> broadcast over W
+    return out
