@@ -1,0 +1,277 @@
+"""High-level model wrapper: the reference's ``DLWPNeuralNet`` API surface.
+
+Mirrors ``DLWP/model/models.py:21-316`` (and folds in the multi-output
+sequence training of ``DLWPFunctional``, models.py:319-465, via
+``sequence_steps``): declarative layer-spec construction, optional feature
+scaling/imputation, fit/fit_generator/predict/evaluate, and the
+autoregressive ``predict_timeseries`` rollout -- with the compute re-designed
+for TPU: the model is a flax module, training is a jitted optax step
+(:mod:`dlwp_tpu.train.trainer`), and the rollout runs as one on-device
+``lax.scan`` instead of a host loop of ``model.predict`` calls
+(models.py:277-301).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dlwp_tpu.models.cnn import build_sequential
+from dlwp_tpu.train.trainer import TrainConfig, Trainer
+from dlwp_tpu.utils.scaler import SCALERS, MeanImputer
+
+
+class DLWPNeuralNet:
+    """DLWP neural-net wrapper (reference models.py:21).
+
+    Args:
+        is_convolutional / is_recurrent: input-shape handling flags, as in
+            the reference (models.py:34-45). Recurrent models take
+            (B, time_dim, C, H, W); convolutional ones (B, time_dim*C, H, W).
+        time_dim: number of input/output time steps stacked in the channel
+            (or time) dimension.
+        scaler_type: 'standard' | 'minmax' | None.
+        scale_targets: inverse-transform predictions (models.py:242-243).
+        impute_missing: NaN imputation with per-feature means.
+    """
+
+    def __init__(
+        self,
+        is_convolutional: bool = True,
+        is_recurrent: bool = False,
+        time_dim: int = 1,
+        scaler_type: str | None = "standard",
+        scale_targets: bool = True,
+        impute_missing: bool = False,
+    ):
+        self.is_convolutional = is_convolutional
+        self.is_recurrent = is_recurrent
+        self.time_dim = time_dim
+        self.scaler_type = scaler_type
+        self.scale_targets = scale_targets
+        self.impute = impute_missing
+        self.scaler = None
+        self.scaler_y = None
+        self.imputer = None
+        self.layer_specs: Sequence | None = None
+        self.base_model = None  # flax module
+        self.trainer: Trainer | None = None
+        self._params = None
+        self._train_config: TrainConfig | None = None
+        self._sample_shape: tuple | None = None
+
+    # ------------------------------------------------------------- building
+    def build_model(
+        self,
+        layers: Sequence,
+        loss: Any = "mse",
+        optimizer: Any = "adam",
+        learning_rate: float = 1e-3,
+        weight_decay: float = 0.0,
+        metrics: dict[str, Callable] | None = None,
+        sequence_steps: int = 1,
+        splice_fn: Callable | None = None,
+        mesh=None,
+        batch_spec=None,
+        **train_kwargs,
+    ) -> None:
+        """Build the flax model from layer specs and set up training.
+
+        ``layers`` is a list of flax modules and/or reference-style
+        ``(name, args, kwargs)`` tuples (models.py:63-103 semantics).
+        """
+        self.layer_specs = layers
+        self.base_model = build_sequential(layers)
+        self._train_config = TrainConfig(
+            loss=loss,
+            optimizer=optimizer,
+            learning_rate=learning_rate,
+            weight_decay=weight_decay,
+            sequence_steps=sequence_steps,
+            **train_kwargs,
+        )
+        self.trainer = Trainer(
+            self.base_model,
+            self._train_config,
+            splice_fn=splice_fn,
+            mesh=mesh,
+            batch_spec=batch_spec,
+            metrics=metrics,
+        )
+
+    @property
+    def model(self):
+        return self.base_model
+
+    # ------------------------------------------------------------- scaling
+    def scaler_fit(self, X, y=None, **kwargs):
+        scaler_cls = SCALERS[self.scaler_type]
+        if scaler_cls is None:
+            return self
+        self.scaler = scaler_cls(**kwargs).fit(X)
+        if y is not None:
+            self.scaler_y = scaler_cls(**kwargs).fit(y)
+        else:
+            self.scaler_y = self.scaler
+        return self
+
+    def scaler_transform(self, X, y=None):
+        if self.scaler is None:
+            return X if y is None else (X, y)
+        Xs = self.scaler.transform(X)
+        if y is None:
+            return Xs
+        return Xs, self.scaler_y.transform(y)
+
+    def imputer_fit(self, X):
+        self.imputer = MeanImputer().fit(X)
+        return self
+
+    def imputer_transform(self, X, y=None):
+        if self.imputer is None:
+            return X if y is None else (X, y)
+        Xi = self.imputer.transform(X)
+        if y is None:
+            return Xi
+        return Xi, self.imputer.transform(y)
+
+    # ------------------------------------------------------------- training
+    def init_fit(self, predictors, targets):
+        """Fit scaler/imputer prior to training (models.py:172-186)."""
+        if self.impute:
+            self.imputer_fit(predictors)
+            predictors = self.imputer_transform(predictors)
+        self.scaler_fit(predictors, targets)
+        return self
+
+    def fit(self, predictors, targets, validation_data=None, **kwargs):
+        """Train on arrays (models.py:188-214 semantics + scaling)."""
+        if self.impute:
+            predictors, targets = self.imputer_transform(predictors, targets)
+        x, y = self.scaler_transform(predictors, targets)
+        if validation_data is not None:
+            val = self.scaler_transform(*validation_data)
+            if self.impute:
+                val = self.imputer_transform(*val)
+        else:
+            val = None
+        return self.trainer.fit(x=x, y=y, validation_data=val, **kwargs)
+
+    def fit_generator(self, generator, validation_data=None, **kwargs):
+        """Train from a batch generator (models.py:216-228). The generator
+        is expected to yield already-scaled batches (as the reference's
+        SeriesDataGenerator does)."""
+        return self.trainer.fit(
+            generator=generator, validation_data=validation_data, **kwargs
+        )
+
+    # ------------------------------------------------------------ inference
+    def predict(self, predictors, **kwargs):
+        """Predict with scaling + inverse target scaling (models.py:230)."""
+        if self.impute:
+            predictors = self.imputer_transform(predictors)
+        x = self.scaler_transform(predictors)
+        pred = self.trainer.predict(x, **kwargs)
+        if self.scale_targets and self.scaler_type is not None and self.scaler_y is not None:
+            return self.scaler_y.inverse_transform(pred)
+        return pred
+
+    def predict_timeseries(
+        self,
+        predictors,
+        time_steps: int,
+        step_sequence: bool = False,
+        keep_time_dim: bool = False,
+        **kwargs,
+    ):
+        """Autoregressive rollout (reference models.py:247-301).
+
+        Runs entirely on device as a ``lax.scan``: per scan step the model
+        predicts, and either the whole state is replaced by the prediction
+        (default) or a sliding window advances one time step
+        (``step_sequence``, models.py:280-290).
+
+        Returns (time_steps[, time_dim], sample, ...) exactly per the
+        reference's output-shaping rules.
+        """
+        time_steps = int(time_steps)
+        if time_steps < 1:
+            raise ValueError("time_steps must be an int > 0")
+        n_iter = (
+            time_steps
+            if step_sequence
+            else int(np.ceil(time_steps / self.time_dim))
+        )
+        if self.impute:
+            predictors = self.imputer_transform(predictors)
+        x0 = jnp.asarray(self.scaler_transform(np.asarray(predictors)))
+        sample_dim = x0.shape[0]
+        feature_shape = x0.shape[2:] if self.is_recurrent else x0.shape[1:]
+        td = self.time_dim
+        params = self.trainer.params
+        apply = self.trainer.model.apply
+
+        def scan_body(p, _):
+            pred = apply(params, p)
+            if step_sequence:
+                if self.is_recurrent:
+                    p_next = jnp.concatenate([p[:, 1:], pred[:, :1]], axis=1)
+                else:
+                    pr = pred.reshape((sample_dim, td, -1) + feature_shape[1:])
+                    pt = p.reshape((sample_dim, td, -1) + feature_shape[1:])
+                    p_next = jnp.concatenate([pt[:, 1:], pr[:, :1]], axis=1)
+                    p_next = p_next.reshape(x0.shape)
+                return p_next, pred
+            return pred, pred
+
+        @jax.jit
+        def rollout(x):
+            _, series = jax.lax.scan(scan_body, x, None, length=n_iter)
+            return series
+
+        ts = np.asarray(rollout(x0))  # (n_iter, B, ...)
+        if self.scale_targets and self.scaler_type is not None and self.scaler_y is not None:
+            ts = self.scaler_y.inverse_transform(ts)
+        ts = ts.reshape((n_iter, sample_dim, td, -1) + feature_shape[1:])
+        if not keep_time_dim:
+            if step_sequence:
+                ts = ts[:, :, 0]
+            else:
+                ts = ts.transpose(
+                    (0, 2, 1) + tuple(range(3, 3 + len(feature_shape)))
+                )
+                ts = ts.reshape(
+                    (n_iter * td, sample_dim, -1) + feature_shape[1:]
+                )
+        return ts
+
+    def evaluate(self, predictors, targets, **kwargs):
+        """Scaled evaluation (models.py:303-316)."""
+        if self.impute:
+            predictors, targets = self.imputer_transform(predictors, targets)
+        x, y = self.scaler_transform(predictors, targets)
+        return self.trainer.evaluate((x, y), **kwargs)
+
+    # -------------------------------------------------------- persistence
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        # flax modules / trainer are rebuilt from specs on load (analogue of
+        # nulling Keras objects before pickling, util.py:143-147).
+        state["_params"] = self.trainer.params if self.trainer else self._params
+        state.pop("base_model", None)
+        state.pop("trainer", None)
+        return state
+
+    def __setstate__(self, state):
+        self._params = state.pop("_params", None)
+        self.__dict__.update(state)
+        self.base_model = None
+        self.trainer = None
+        if self.layer_specs is not None:
+            self.base_model = build_sequential(self.layer_specs)
+            cfg = self._train_config or TrainConfig()
+            self.trainer = Trainer(self.base_model, cfg)
+            self.trainer.params = self._params

@@ -1,0 +1,268 @@
+"""Declarative sequential model builder.
+
+The reference's model-architecture "config language" is a list of
+``(layer_name, args, kwargs)`` tuples resolved by reflection against
+``keras.layers`` then ``DLWP.custom`` (models.py:63-103, util.py:82-93).
+This module keeps that declarative surface -- specs are data, resolvable from
+a registry by name -- but resolves into flax modules composed in a single
+:class:`SequentialModel`, and also accepts flax module instances directly.
+
+Registry names cover both the TPU-native fused layers (``CyclicConv2D``,
+``RowConv2D``, ...) and reference-style aliases (``PeriodicPadding2D``,
+``ZeroPadding2D``, ``Conv2D``, ``MaxPooling2D``, ``UpSampling2D``,
+``ConvLSTM2D``, ``Reshape``) so reference architectures translate
+line-for-line when desired.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+from dlwp_tpu.models.layers import (
+    Activation,
+    AvgPool2D,
+    ConvLSTM2D,
+    CyclicConv2D,
+    MaxPool2D,
+    Reshape,
+    RowConv2D,
+    UpSampling2D,
+    get_activation,
+    _pair,
+)
+from dlwp_tpu.ops.padding import pad_constant, pad_fill, pad_periodic
+
+
+class _Pad(nn.Module):
+    """Standalone padding layer over the trailing axes.
+
+    ``padding`` follows the Keras convention of the matching reference
+    layers: an int or per-axis amounts for the trailing len(padding) axes.
+    """
+
+    padding: Any = 1
+    mode: str = "periodic"  # periodic | zero | fill
+
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            amounts = [(pad, pad), (pad, pad)]
+        else:
+            amounts = [(p, p) if isinstance(p, int) else tuple(p) for p in pad]
+        full = [(0, 0)] * (x.ndim - len(amounts)) + amounts
+        if self.mode == "periodic":
+            return jnp.pad(x, full, mode="wrap")
+        if self.mode == "zero":
+            return jnp.pad(x, full)
+        if self.mode == "fill":
+            return jnp.pad(x, full, mode="edge")
+        raise ValueError(self.mode)
+
+
+class PeriodicPadding2D(_Pad):
+    mode: str = "periodic"
+
+
+class ZeroPadding2D(_Pad):
+    mode: str = "zero"
+
+
+class FillPadding2D(_Pad):
+    mode: str = "fill"
+
+
+# 3-D variants are the same op over three trailing axes.
+PeriodicPadding3D = PeriodicPadding2D
+ZeroPadding3D = ZeroPadding2D
+FillPadding3D = FillPadding2D
+
+
+class Conv2D(nn.Module):
+    """Plain Keras-style Conv2D (channels-first), VALID or SAME padding.
+
+    For reference-style specs that do their own explicit padding layers
+    before a VALID conv (train.py:152-158).
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "valid"
+    dilation_rate: int | tuple[int, int] = 1
+    activation: str | Callable | None = "linear"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        c_in = x.shape[-3]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (self.features, c_in, kh, kw),
+            x.dtype,
+        )
+        batch_shape = x.shape[:-3]
+        x4 = x.reshape((-1,) + x.shape[-3:])
+        y = lax.conv_general_dilated(
+            x4,
+            kernel,
+            window_strides=self.strides,
+            padding=self.padding.upper(),
+            rhs_dilation=_pair(self.dilation_rate),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        y = y.reshape(batch_shape + y.shape[1:])
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), x.dtype
+            )
+            y = y + bias[..., :, None, None]
+        return get_activation(self.activation)(y)
+
+
+class Dense(nn.Module):
+    features: int
+    activation: str | Callable | None = "linear"
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, name="dense")(x)
+        return get_activation(self.activation)(y)
+
+
+def _maxpool(*args, **kw):
+    # Keras passes pool_size positionally, possibly as scalar.
+    size = args[0] if args else kw.pop("pool_size", 2)
+    if isinstance(size, tuple) and len(size) == 1:
+        size = size[0]
+    kw.pop("data_format", None)
+    return MaxPool2D(window=size)
+
+
+def _avgpool(*args, **kw):
+    size = args[0] if args else kw.pop("pool_size", 2)
+    if isinstance(size, tuple) and len(size) == 1:
+        size = size[0]
+    kw.pop("data_format", None)
+    return AvgPool2D(window=size)
+
+
+def _upsample(*args, **kw):
+    size = args[0] if args else kw.pop("size", 2)
+    if isinstance(size, tuple) and len(size) == 1:
+        size = size[0]
+    kw.pop("data_format", None)
+    return UpSampling2D(factor=size)
+
+
+def _reshape(*args, **kw):
+    shape = args[0] if args else kw["target_shape"]
+    return Reshape(shape=shape)
+
+
+def _keras_conv(cls):
+    def build(*args, **kw):
+        kw.pop("data_format", None)
+        kw.pop("input_shape", None)
+        kw.pop("kernel_regularizer", None)  # handled via optimizer weight decay
+        kw.pop("return_sequences", None)
+        if cls is Conv2D:
+            kw.setdefault("dilation_rate", kw.pop("dilation", 1))
+        else:
+            # Fused layers call it `dilation`; drop the VALID-padding flag
+            # (boundary handling is built in).
+            if "dilation_rate" in kw:
+                kw["dilation"] = kw.pop("dilation_rate")
+            kw.pop("padding", None)
+        if len(args) >= 2:
+            return cls(features=args[0], kernel_size=args[1], **kw)
+        if len(args) == 1:
+            return cls(features=args[0], **kw)
+        return cls(**kw)
+
+    return build
+
+
+def _convlstm(*args, **kw):
+    kw.pop("data_format", None)
+    kw.pop("input_shape", None)
+    kw.pop("kernel_regularizer", None)
+    kw.pop("padding", None)  # boundary handling is built in
+    kw["dilation"] = kw.pop("dilation_rate", kw.pop("dilation", 1))
+    if len(args) >= 2:
+        return ConvLSTM2D(features=args[0], kernel_size=args[1], **kw)
+    return ConvLSTM2D(features=args[0], **kw) if args else ConvLSTM2D(**kw)
+
+
+def _pad_layer(cls):
+    def build(*args, **kw):
+        kw.pop("data_format", None)
+        kw.pop("input_shape", None)
+        pad = args[0] if args else kw.get("padding", 1)
+        return cls(padding=pad)
+
+    return build
+
+
+LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
+    # TPU-native fused layers
+    "CyclicConv2D": _keras_conv(CyclicConv2D),
+    "RowConv2D": _keras_conv(RowConv2D),
+    "RowConnected2D": _keras_conv(RowConv2D),  # reference name, custom.py:695
+    "ConvLSTM2D": _convlstm,
+    # Reference-style aliases (keras.layers + DLWP.custom vocabulary)
+    "Conv2D": _keras_conv(Conv2D),
+    "Dense": _keras_conv(Dense),
+    "MaxPooling2D": _maxpool,
+    "AveragePooling2D": _avgpool,
+    "UpSampling2D": _upsample,
+    "Reshape": _reshape,
+    "Activation": lambda *a, **k: Activation(fn=a[0] if a else k.get("activation", "linear")),
+    "PeriodicPadding2D": _pad_layer(PeriodicPadding2D),
+    "PeriodicPadding3D": _pad_layer(PeriodicPadding3D),
+    "ZeroPadding2D": _pad_layer(ZeroPadding2D),
+    "ZeroPadding3D": _pad_layer(ZeroPadding3D),
+    "FillPadding2D": _pad_layer(FillPadding2D),
+    "FillPadding3D": _pad_layer(FillPadding3D),
+}
+
+
+def resolve_layer(spec) -> nn.Module:
+    """Resolve one layer spec: a flax Module, or (name, args, kwargs)."""
+    if isinstance(spec, nn.Module):
+        return spec
+    name, args, kwargs = spec
+    args = args or ()
+    kwargs = dict(kwargs or {})
+    try:
+        builder = LAYER_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown layer {name!r}; registered: {sorted(LAYER_REGISTRY)}"
+        ) from None
+    return builder(*args, **kwargs)
+
+
+def build_sequential(specs: Sequence) -> "SequentialModel":
+    """Build a SequentialModel from a list of specs (reference
+    ``build_model`` layer-tuple semantics, models.py:63-103)."""
+    return SequentialModel(layers=tuple(resolve_layer(s) for s in specs))
+
+
+class SequentialModel(nn.Module):
+    """Apply a fixed sequence of layers (the reference's Keras
+    ``Sequential`` equivalent)."""
+
+    layers: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x

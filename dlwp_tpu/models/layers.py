@@ -1,0 +1,238 @@
+"""Flax layers for spherical-geometry weather CNNs.
+
+TPU-native re-design of the reference's layer vocabulary: where the reference
+stacks ``PeriodicPadding2D -> ZeroPadding2D -> Conv2D(valid)``
+(examples/train.py:152-158) as three Keras layers, :class:`CyclicConv2D` is a
+single layer whose boundary treatment (periodic longitude, configurable
+latitude) is fused into the conv. :class:`ConvLSTM2D` covers the reference's
+recurrent front end (train.py:144-157) with spherical padding on both input
+and recurrent convolutions, scanning over the time axis with ``lax.scan``.
+
+Data layout is channels-first: (batch, C, H, W), or (batch, T, C, H, W) for
+recurrent layers -- matching the reference's ``data_format='channels_first'``
+convention throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dlwp_tpu.ops.conv import cyclic_conv2d, row_conv2d
+from dlwp_tpu.ops.pooling import avg_pool2d, max_pool2d, upsample2d
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "linear": lambda x: x,
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "hard_sigmoid": jax.nn.hard_sigmoid,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "gelu": jax.nn.gelu,
+    "leaky_relu": jax.nn.leaky_relu,
+    "softplus": jax.nn.softplus,
+    "swish": jax.nn.swish,
+}
+
+
+def get_activation(act: str | Callable | None) -> Callable:
+    """Resolve an activation by name (reference resolves activation strings
+    via reflection, models_torch.py:134-141 / keras activation kwargs)."""
+    if act is None:
+        return _ACTIVATIONS["linear"]
+    if callable(act):
+        return act
+    try:
+        return _ACTIVATIONS[act]
+    except KeyError:
+        raise ValueError(
+            f"unknown activation {act!r}; available: {sorted(_ACTIVATIONS)}"
+        ) from None
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)
+
+
+class CyclicConv2D(nn.Module):
+    """Conv2D with periodic-longitude boundary, fused.
+
+    Equivalent capability to the reference stack
+    ``PeriodicPadding2D((0, p)) + ZeroPadding2D((p, 0)) + Conv2D(valid)``
+    (train.py:152-158). ``lat_mode='edge'`` reproduces the FillPadding
+    variant (custom.py:309-402).
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: tuple[int, int] = (1, 1)
+    dilation: int | tuple[int, int] = 1
+    activation: str | Callable | None = "linear"
+    lat_mode: str = "zero"
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        c_in = x.shape[-3]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (self.features, c_in, kh, kw),
+            self.dtype or x.dtype,
+        )
+        y = cyclic_conv2d(
+            x, kernel, strides=self.strides, lat_mode=self.lat_mode,
+            dilation=_pair(self.dilation),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.dtype or x.dtype,
+            )
+            y = y + bias[..., :, None, None]
+        return get_activation(self.activation)(y)
+
+
+class RowConv2D(nn.Module):
+    """Latitude-dependent convolution layer (reference ``RowConnected2D``,
+    custom.py:695-838): an independent filter bank per output latitude."""
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    nlat: int | None = None  # inferred from input if None
+    activation: str | Callable | None = "linear"
+    lat_mode: str = "zero"
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        H = self.nlat or x.shape[-2]
+        c_in = x.shape[-3]
+        bank = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=2, out_axis=1),
+            (H, self.features, c_in, kh, kw),
+            self.dtype or x.dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (H, self.features),
+                self.dtype or x.dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        y = row_conv2d(x, bank, bias, lat_mode=self.lat_mode)
+        return get_activation(self.activation)(y)
+
+
+class ConvLSTM2D(nn.Module):
+    """Convolutional LSTM over (batch, T, C, H, W), spherical boundaries.
+
+    Covers the reference's ``ConvLSTM2D`` front end (train.py:144-157,
+    Keras semantics: gates = sigmoid, candidate/output = tanh by default,
+    ``return_sequences`` to emit every step). Both the input and recurrent
+    convolutions use periodic-longitude padding, so the recurrent state
+    respects the spherical topology -- the reference could only pad the
+    *input* (PeriodicPadding3D) and ran the recurrent conv with flat 'same'
+    padding.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    dilation: int | tuple[int, int] = 1
+    activation: str | Callable = "tanh"
+    recurrent_activation: str | Callable = "sigmoid"
+    return_sequences: bool = True
+    lat_mode: str = "zero"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C, H, W = x.shape
+        kh, kw = _pair(self.kernel_size)
+        F = self.features
+        dt = self.dtype or x.dtype
+        Wx = self.param(
+            "input_kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (4 * F, C, kh, kw),
+            dt,
+        )
+        Wh = self.param(
+            "recurrent_kernel",
+            nn.initializers.orthogonal(column_axis=0),
+            (4 * F, F, kh, kw),
+            dt,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (4 * F,), dt)
+        act = get_activation(self.activation)
+        r_act = get_activation(self.recurrent_activation)
+        dil = _pair(self.dilation)
+
+        def step(carry, x_t):
+            h, c = carry
+            zx = cyclic_conv2d(x_t, Wx, lat_mode=self.lat_mode, dilation=dil)
+            zh = cyclic_conv2d(h, Wh, lat_mode=self.lat_mode)
+            z = zx + zh + bias[..., :, None, None]
+            i, f, g, o = jnp.split(z, 4, axis=-3)
+            c_new = r_act(f) * c + r_act(i) * act(g)
+            h_new = r_act(o) * act(c_new)
+            return (h_new, c_new), h_new
+
+        h0 = jnp.zeros((B, F, H, W), dtype=dt)
+        c0 = jnp.zeros((B, F, H, W), dtype=dt)
+        # Scan over time: move T to the front.
+        xs = jnp.moveaxis(x, 1, 0)
+        (h_last, _), hs = jax.lax.scan(step, (h0, c0), xs)
+        if self.return_sequences:
+            return jnp.moveaxis(hs, 0, 1)  # (B, T, F, H, W)
+        return h_last
+
+
+class MaxPool2D(nn.Module):
+    window: int | tuple[int, int] = 2
+
+    def __call__(self, x):
+        return max_pool2d(x, _pair(self.window))
+
+
+class AvgPool2D(nn.Module):
+    window: int | tuple[int, int] = 2
+
+    def __call__(self, x):
+        return avg_pool2d(x, _pair(self.window))
+
+
+class UpSampling2D(nn.Module):
+    factor: int | tuple[int, int] = 2
+
+    def __call__(self, x):
+        return upsample2d(x, _pair(self.factor))
+
+
+class Reshape(nn.Module):
+    """Reshape trailing (non-batch) dims (Keras ``Reshape`` semantics, as in
+    the reference's post-ConvLSTM flatten, train.py:158)."""
+
+    shape: Sequence[int]
+
+    def __call__(self, x):
+        return x.reshape((x.shape[0],) + tuple(self.shape))
+
+
+class Activation(nn.Module):
+    fn: str | Callable = "linear"
+
+    def __call__(self, x):
+        return get_activation(self.fn)(x)

@@ -1,0 +1,371 @@
+"""jit-compiled training loop.
+
+Replaces the reference's Keras ``fit``/``fit_generator`` path
+(``DLWP/model/models.py:188-228``) and hand-written torch loop
+(``models_torch.py:234-299``) with a single jitted optax train step:
+
+- loss/optimizer/metrics are plain functions (optax + dlwp_tpu.ops.losses);
+- multi-step ("sequence") training -- the reference's functional-API joint
+  rollout loss (``DLWPFunctional``, models.py:319-465; sequence targets from
+  generators.py:554-579) -- is a ``lax.scan`` rollout inside the loss with
+  rematerialization, not a hand-built multi-output graph;
+- early stopping with a minimum-epoch floor and best-weights restore mirrors
+  ``EarlyStoppingMin`` (custom.py:99-136);
+- data parallelism is a ``NamedSharding`` on the batch over a device mesh
+  (vs. ``multi_gpu_model``, models.py:104-109).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from dlwp_tpu.ops import losses as loss_lib
+
+OPTIMIZERS = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "lion": optax.lion,
+}
+
+LOSSES = {
+    "mse": loss_lib.mse,
+    "mae": loss_lib.mae,
+    "mean_squared_error": loss_lib.mse,
+    "mean_absolute_error": loss_lib.mae,
+}
+
+
+def resolve_loss(loss) -> Callable:
+    if callable(loss):
+        return loss
+    try:
+        return LOSSES[loss]
+    except KeyError:
+        raise ValueError(f"unknown loss {loss!r}") from None
+
+
+def resolve_optimizer(optimizer, learning_rate=1e-3, **kwargs):
+    if isinstance(optimizer, optax.GradientTransformation):
+        return optimizer
+    try:
+        return OPTIMIZERS[optimizer](learning_rate, **kwargs)
+    except KeyError:
+        raise ValueError(f"unknown optimizer {optimizer!r}") from None
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Typed training configuration (replaces the reference's
+    '#%% Parameters' constant blocks, SURVEY.md section 5.6)."""
+
+    loss: Any = "mse"
+    optimizer: Any = "adam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0  # l2; the reference used kernel_regularizer
+    epochs: int = 10
+    batch_size: int = 64
+    shuffle: bool = True
+    # Early stopping (reference EarlyStoppingMin, custom.py:99-136):
+    early_stopping: bool = False
+    min_epochs: int = 0
+    patience: int = 0
+    monitor: str = "val_loss"
+    restore_best_weights: bool = True
+    # Multi-step sequence training (reference DLWPFunctional):
+    sequence_steps: int = 1
+    seed: int = 0
+
+
+class History:
+    """Keras-History-like metric record (reference custom.py:71-91)."""
+
+    def __init__(self):
+        self.history: dict[str, list[float]] = {}
+        self.epoch: list[int] = []
+
+    def append(self, epoch: int, metrics: dict[str, float]):
+        self.epoch.append(epoch)
+        for k, v in metrics.items():
+            self.history.setdefault(k, []).append(float(v))
+
+
+class EarlyStoppingMin:
+    """Early stopping with a minimum-epoch floor and best-weights restore.
+
+    Stateful mirror of the reference's ``EarlyStoppingMin`` callback
+    (custom.py:99-136): no stop before ``min_epochs``; stop after
+    ``patience`` epochs without improvement; optionally restore the best
+    parameters seen.
+    """
+
+    def __init__(self, monitor="val_loss", min_epochs=0, patience=0,
+                 restore_best_weights=True, min_delta=0.0):
+        self.monitor = monitor
+        self.min_epochs = min_epochs
+        self.patience = patience
+        self.restore_best_weights = restore_best_weights
+        self.min_delta = min_delta
+        self.best = np.inf
+        self.best_params = None
+        self.wait = 0
+
+    def update(self, epoch: int, metrics: dict[str, float], params):
+        """Returns True if training should stop."""
+        current = metrics.get(self.monitor)
+        if current is None:
+            return False
+        if current < self.best - self.min_delta:
+            self.best = current
+            self.wait = 0
+            if self.restore_best_weights:
+                self.best_params = jax.tree.map(jnp.copy, params)
+        else:
+            self.wait += 1
+        return epoch + 1 >= self.min_epochs and self.wait > self.patience
+
+
+class Trainer:
+    """Compiled training driver for a flax module.
+
+    Args:
+        model: flax module mapping input batch -> prediction.
+        config: TrainConfig.
+        splice_fn: for sequence training, maps (current_input, prediction,
+            step_index) -> next input. Defaults to feeding the prediction
+            straight back (requires model output shape == input shape). This
+            is the in-graph analogue of the reference's
+            ``TimeSeriesEstimator`` output->input splicing
+            (extensions.py:244-253).
+        mesh / batch_spec: optional jax Mesh + PartitionSpec for the batch
+            axes; when given, batches are sharded for data parallelism.
+    """
+
+    def __init__(
+        self,
+        model: nn.Module,
+        config: TrainConfig | None = None,
+        splice_fn: Callable | None = None,
+        mesh=None,
+        batch_spec=None,
+        metrics: dict[str, Callable] | None = None,
+    ):
+        self.model = model
+        self.config = config or TrainConfig()
+        self.loss_fn = resolve_loss(self.config.loss)
+        tx = resolve_optimizer(
+            self.config.optimizer, self.config.learning_rate
+        )
+        if self.config.weight_decay:
+            tx = optax.chain(
+                optax.add_decayed_weights(self.config.weight_decay), tx
+            )
+        self.tx = tx
+        self.splice_fn = splice_fn
+        self.metrics = metrics or {}
+        self.mesh = mesh
+        self.batch_spec = batch_spec
+        self._sharding = None
+        if mesh is not None and batch_spec is not None:
+            from jax.sharding import NamedSharding
+
+            self._sharding = NamedSharding(mesh, batch_spec)
+        self.params = None
+        self.opt_state = None
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------ core
+    def init(self, sample_x) -> Any:
+        key = jax.random.PRNGKey(self.config.seed)
+        self.params = self.model.init(key, sample_x)
+        self.opt_state = self.tx.init(self.params)
+        return self.params
+
+    def _forward_loss(self, params, x, y):
+        """Single- or multi-step loss.
+
+        For ``sequence_steps > 1`` the target y must carry a step axis at
+        position 1: (B, S, ...). The model is rolled out S times with
+        ``splice_fn`` feeding predictions back, each step's loss averaged
+        with equal weights (reference train_functional.py:283-285 uses equal
+        loss weighting over the sequence).
+        """
+        S = self.config.sequence_steps
+        apply = lambda inp: self.model.apply(params, inp)
+        if S == 1:
+            pred = apply(x)
+            return self.loss_fn(y, pred), pred
+
+        splice = self.splice_fn or (lambda inp, pred, k: pred)
+        step_model = jax.checkpoint(apply)
+
+        def body(carry, k_and_y):
+            inp = carry
+            k, y_k = k_and_y
+            pred = step_model(inp)
+            loss_k = self.loss_fn(y_k, pred)
+            nxt = splice(inp, pred, k)
+            return nxt, (loss_k, pred)
+
+        ks = jnp.arange(S)
+        y_steps = jnp.moveaxis(y, 1, 0)
+        _, (losses, preds) = jax.lax.scan(body, x, (ks, y_steps))
+        return jnp.mean(losses), jnp.moveaxis(preds, 0, 1)
+
+    def _train_step(self, params, opt_state, x, y):
+        (loss, pred), grads = jax.value_and_grad(
+            lambda p: self._forward_loss(p, x, y), has_aux=True
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        out = {"loss": loss}
+        for name, fn in self.metrics.items():
+            out[name] = fn(y, pred)
+        return params, opt_state, out
+
+    def _eval_step(self, params, x, y):
+        loss, pred = self._forward_loss(params, x, y)
+        out = {"loss": loss}
+        for name, fn in self.metrics.items():
+            out[name] = fn(y, pred)
+        return out
+
+    def _device_put(self, arr):
+        if self._sharding is not None:
+            return jax.device_put(arr, self._sharding)
+        return jnp.asarray(arr)
+
+    # ------------------------------------------------------------------ API
+    def fit(
+        self,
+        x=None,
+        y=None,
+        generator: Iterable | None = None,
+        validation_data=None,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        verbose: bool = True,
+        callbacks: list | None = None,
+    ) -> History:
+        """Train from arrays or a batch generator.
+
+        ``generator`` must yield (x_batch, y_batch) and support len() /
+        re-iteration per epoch (the reference's ``keras.utils.Sequence``
+        protocol, generators.py:323-629). ``validation_data`` is (x, y)
+        arrays or a generator.
+        """
+        cfg = self.config
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        history = History()
+        stopper = (
+            EarlyStoppingMin(
+                cfg.monitor, cfg.min_epochs, cfg.patience,
+                cfg.restore_best_weights,
+            )
+            if cfg.early_stopping
+            else None
+        )
+        rng = np.random.RandomState(cfg.seed)
+
+        if self.params is None:
+            if generator is not None:
+                x0, _ = generator[0] if hasattr(generator, "__getitem__") else next(iter(generator))
+            else:
+                x0 = x[:1]
+            self.init(self._device_put(np.asarray(x0)[:1]))
+
+        n = None if x is None else len(x)
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_metrics: dict[str, list] = {}
+            if generator is not None:
+                epoch_iter = iter(generator)
+            else:
+                idx = np.arange(n)
+                if cfg.shuffle:
+                    rng.shuffle(idx)
+                epoch_iter = (
+                    (x[idx[i : i + batch_size]], y[idx[i : i + batch_size]])
+                    for i in range(0, n, batch_size)
+                )
+            for xb, yb in epoch_iter:
+                xb = self._device_put(np.asarray(xb))
+                yb = self._device_put(np.asarray(yb))
+                self.params, self.opt_state, m = self._jit_train_step(
+                    self.params, self.opt_state, xb, yb
+                )
+                for k, v in m.items():
+                    train_metrics.setdefault(k, []).append(v)
+            metrics = {
+                k: float(np.mean([np.asarray(v) for v in vs]))
+                for k, vs in train_metrics.items()
+            }
+            if validation_data is not None:
+                metrics.update(
+                    {f"val_{k}": v for k, v in self.evaluate(
+                        validation_data, batch_size=batch_size
+                    ).items()}
+                )
+            metrics["time"] = time.time() - t0
+            history.append(epoch, metrics)
+            for cb in callbacks or []:
+                cb(epoch, metrics, self.params)
+            if verbose:
+                desc = " ".join(
+                    f"{k}={v:.6g}" for k, v in metrics.items()
+                )
+                print(f"epoch {epoch + 1}/{epochs}: {desc}")
+            if stopper is not None and stopper.update(
+                epoch, metrics, self.params
+            ):
+                if stopper.restore_best_weights and stopper.best_params is not None:
+                    self.params = stopper.best_params
+                if verbose:
+                    print(f"early stopping at epoch {epoch + 1}")
+                break
+        return history
+
+    def evaluate(self, data, batch_size: int = 64) -> dict[str, float]:
+        if isinstance(data, tuple):
+            x, y = data
+            n = len(x)
+            batches = (
+                (x[i : i + batch_size], y[i : i + batch_size])
+                for i in range(0, n, batch_size)
+            )
+        else:
+            batches = iter(data)
+        out: dict[str, list] = {}
+        for xb, yb in batches:
+            m = self._jit_eval_step(
+                self.params,
+                self._device_put(np.asarray(xb)),
+                self._device_put(np.asarray(yb)),
+            )
+            for k, v in m.items():
+                out.setdefault(k, []).append(np.asarray(v))
+        return {k: float(np.mean(v)) for k, v in out.items()}
+
+    def predict(self, x, batch_size: int = 64) -> np.ndarray:
+        apply = jax.jit(lambda p, inp: self.model.apply(p, inp))
+        outs = []
+        for i in range(0, len(x), batch_size):
+            outs.append(
+                np.asarray(
+                    apply(self.params, self._device_put(np.asarray(x[i : i + batch_size])))
+                )
+            )
+        return np.concatenate(outs, axis=0)

@@ -1,0 +1,19 @@
+"""Cross-cutting utilities: scaling, serialization, reflection."""
+
+from dlwp_tpu.utils.scaler import StandardScaler, MinMaxScaler, MeanImputer
+from dlwp_tpu.utils.serialization import save_model, load_model
+from dlwp_tpu.utils.reflection import get_from_module, get_classes, get_methods
+from dlwp_tpu.utils.split import train_test_split_ind, delete_nan_samples
+
+__all__ = [
+    "StandardScaler",
+    "MinMaxScaler",
+    "MeanImputer",
+    "save_model",
+    "load_model",
+    "get_from_module",
+    "get_classes",
+    "get_methods",
+    "train_test_split_ind",
+    "delete_nan_samples",
+]

@@ -1,0 +1,248 @@
+"""Tests for the model layer: flax layers, declarative builder, wrapper API,
+and the training loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlwp_tpu.models import (
+    ConvLSTM2D,
+    CyclicConv2D,
+    DLWPNeuralNet,
+    SequentialModel,
+    build_sequential,
+)
+from dlwp_tpu.train import Trainer, TrainConfig
+from dlwp_tpu.utils import save_model, load_model
+
+
+def rand(*shape, key=0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=jnp.float32)
+
+
+def canonical_tower_specs(c_in, c_out, nlat, nlon):
+    """The reference's conv-pool-upsample tower (examples/train.py:142-221)
+    expressed in fused TPU-native layers."""
+    return [
+        ("CyclicConv2D", (32, 3), {"dilation": 2, "activation": "tanh"}),
+        ("MaxPooling2D", (2,), None),
+        ("CyclicConv2D", (64, 3), {"activation": "tanh"}),
+        ("MaxPooling2D", (2,), None),
+        ("CyclicConv2D", (128, 3), {"activation": "tanh"}),
+        ("UpSampling2D", (2,), None),
+        ("CyclicConv2D", (64, 3), {"activation": "tanh"}),
+        ("UpSampling2D", (2,), None),
+        ("CyclicConv2D", (32, 3), {"dilation": 2, "activation": "tanh"}),
+        ("CyclicConv2D", (c_out, 5), {"activation": "linear"}),
+    ]
+
+
+class TestLayers:
+    def test_cyclic_conv_shape_and_periodicity(self):
+        m = CyclicConv2D(features=8, kernel_size=3, activation="tanh")
+        x = rand(2, 3, 12, 24)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 8, 12, 24)
+        y2 = m.apply(params, jnp.roll(x, 7, axis=-1))
+        np.testing.assert_allclose(
+            np.asarray(jnp.roll(y, 7, axis=-1)), np.asarray(y2), atol=1e-5
+        )
+
+    def test_convlstm_shapes(self):
+        m = ConvLSTM2D(features=6, kernel_size=3, return_sequences=True)
+        x = rand(2, 4, 3, 8, 16)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 4, 6, 8, 16)
+        m2 = ConvLSTM2D(features=6, kernel_size=3, return_sequences=False)
+        p2 = m2.init(jax.random.PRNGKey(0), x)
+        assert m2.apply(p2, x).shape == (2, 6, 8, 16)
+
+    def test_convlstm_temporal_dependence(self):
+        # Output at t must depend on inputs at t' <= t only.
+        m = ConvLSTM2D(features=4, kernel_size=3)
+        x = rand(1, 3, 2, 6, 12)
+        params = m.init(jax.random.PRNGKey(1), x)
+        y = m.apply(params, x)
+        x_mod = x.at[:, 2].add(10.0)  # perturb the last step
+        y_mod = m.apply(params, x_mod)
+        np.testing.assert_allclose(
+            np.asarray(y[:, :2]), np.asarray(y_mod[:, :2]), atol=1e-6
+        )
+        assert np.abs(np.asarray(y[:, 2] - y_mod[:, 2])).max() > 1e-3
+
+
+class TestBuilder:
+    def test_reference_style_specs(self):
+        """Literal reference-style spec list (train.py:142-221 vocabulary)
+        must resolve and run."""
+        cs = (2, 9, 16)  # C, H, W (post-crop style)
+        specs = [
+            ("PeriodicPadding2D", ((0, 2),), {"data_format": "channels_first"}),
+            ("ZeroPadding2D", ((2, 0),), {"data_format": "channels_first"}),
+            ("Conv2D", (16, 3), {
+                "dilation_rate": 2, "padding": "valid", "activation": "tanh",
+                "data_format": "channels_first",
+            }),
+            ("MaxPooling2D", (2,), {"data_format": "channels_first"}),
+            ("UpSampling2D", (2,), {"data_format": "channels_first"}),
+            ("PeriodicPadding2D", ((0, 1),), {"data_format": "channels_first"}),
+            ("ZeroPadding2D", ((1, 0),), {"data_format": "channels_first"}),
+            ("Conv2D", (cs[0], 3), {"padding": "valid", "activation": "linear",
+                                    "data_format": "channels_first"}),
+        ]
+        model = build_sequential(specs)
+        x = rand(2, *cs)
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        # 9 -> pad 2+2 -> 13 -> conv d2 valid -> 9 -> pool -> 4 -> up -> 8
+        # -> pad 1+1 -> 10 -> conv valid -> 8
+        assert y.shape == (2, cs[0], 8, 16)
+
+    def test_fused_tower(self):
+        specs = canonical_tower_specs(4, 2, 8, 16)
+        model = build_sequential(specs)
+        x = rand(2, 4, 8, 16)
+        params = model.init(jax.random.PRNGKey(0), x)
+        assert model.apply(params, x).shape == (2, 2, 8, 16)
+
+    def test_unknown_layer_raises(self):
+        with pytest.raises(ValueError, match="unknown layer"):
+            build_sequential([("NotALayer", (), {})])
+
+
+class TestTrainer:
+    def test_loss_decreases(self):
+        model = build_sequential(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (2, 3), {"activation": "linear"})]
+        )
+        x = np.asarray(rand(32, 2, 8, 16))
+        y = np.roll(x, 1, axis=-1)  # learn a fixed shift
+        tr = Trainer(model, TrainConfig(
+            loss="mse", optimizer="adam", learning_rate=3e-3, epochs=30,
+            batch_size=16, shuffle=True,
+        ))
+        hist = tr.fit(x=x, y=y, verbose=False)
+        losses = hist.history["loss"]
+        assert losses[-1] < 0.3 * losses[0]
+
+    def test_early_stopping_min_epochs(self):
+        model = build_sequential([("CyclicConv2D", (1, 1), {})])
+        # Zero-in/zero-out: loss is exactly 0 every epoch, so no epoch ever
+        # "improves" on the first -> stop as soon as min_epochs allows.
+        x = np.zeros((8, 1, 4, 8), dtype=np.float32)
+        tr = Trainer(model, TrainConfig(
+            loss="mse", epochs=50, batch_size=8, early_stopping=True,
+            min_epochs=5, patience=0, monitor="val_loss",
+        ))
+        hist = tr.fit(x=x, y=x, validation_data=(x, x), verbose=False)
+        # Stops once past min_epochs with patience 0 (cannot stop earlier).
+        assert len(hist.epoch) >= 5
+        assert len(hist.epoch) < 50
+
+    def test_sequence_training(self):
+        """Multi-step joint loss (reference DLWPFunctional / sequence=k)."""
+        model = build_sequential(
+            [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (1, 3), {})]
+        )
+        x = np.asarray(rand(16, 1, 6, 12))
+        # Sequence target: two successive one-pixel shifts.
+        y = np.stack([np.roll(x, 1, axis=-1), np.roll(x, 2, axis=-1)], axis=1)
+        tr = Trainer(model, TrainConfig(
+            loss="mse", learning_rate=3e-3, epochs=40, batch_size=16,
+            sequence_steps=2,
+        ))
+        hist = tr.fit(x=x, y=y, verbose=False)
+        assert hist.history["loss"][-1] < 0.5 * hist.history["loss"][0]
+
+    def test_generator_input(self):
+        model = build_sequential([("CyclicConv2D", (1, 1), {})])
+
+        class Gen:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                x = np.full((4, 1, 4, 8), float(i), dtype=np.float32)
+                return x, x
+
+            def __iter__(self):
+                return (self[i] for i in range(len(self)))
+
+        tr = Trainer(model, TrainConfig(epochs=2, batch_size=4))
+        hist = tr.fit(generator=Gen(), verbose=False)
+        assert len(hist.epoch) == 2
+
+
+class TestDLWPNeuralNet:
+    def _build(self, c=2, h=8, w=16, **kw):
+        dlwp = DLWPNeuralNet(time_dim=1, scaler_type="standard", **kw)
+        dlwp.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c, 3), {})],
+            loss="mse", optimizer="adam", learning_rate=3e-3,
+        )
+        return dlwp
+
+    def test_fit_predict_with_scaling(self):
+        dlwp = self._build()
+        x = np.asarray(rand(32, 2, 8, 16)) * 50.0 + 5500.0
+        y = np.roll(x, 1, axis=-1)
+        dlwp.init_fit(x, y)
+        dlwp.fit(x, y, epochs=30, batch_size=16, verbose=False)
+        pred = dlwp.predict(x[:4])
+        assert pred.shape == (4, 2, 8, 16)
+        # Prediction is inverse-scaled back to physical units.
+        assert abs(pred.mean() - 5500.0) < 200.0
+
+    def test_predict_timeseries_whole_state(self):
+        dlwp = self._build()
+        x = np.asarray(rand(3, 2, 8, 16))
+        dlwp.init_fit(x, x)
+        dlwp.fit(x, x, epochs=1, batch_size=4, verbose=False)
+        ts = dlwp.predict_timeseries(x, 4)
+        assert ts.shape == (4, 3, 2, 8, 16)
+        # Whole-state mode: step t+1 = model(step t); verify vs manual loop.
+        p = x.copy()
+        for t in range(2):
+            p = dlwp.predict(p)
+        np.testing.assert_allclose(ts[1], p, rtol=1e-4, atol=1e-5)
+
+    def test_predict_timeseries_step_sequence(self):
+        dlwp = DLWPNeuralNet(time_dim=2, scaler_type=None)
+        dlwp.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (4, 3), {})],  # 4 = time_dim * 2 channels
+        )
+        x = np.asarray(rand(3, 4, 8, 16))
+        dlwp.fit(x, x, epochs=1, batch_size=4, verbose=False)
+        ts = dlwp.predict_timeseries(x, 3, step_sequence=True)
+        assert ts.shape == (3, 3, 2, 8, 16)
+        ts_keep = dlwp.predict_timeseries(x, 3, step_sequence=True, keep_time_dim=True)
+        assert ts_keep.shape == (3, 3, 2, 2, 8, 16)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        dlwp = self._build()
+        x = np.asarray(rand(8, 2, 8, 16))
+        dlwp.init_fit(x, x)
+        dlwp.fit(x, x, epochs=2, batch_size=8, verbose=False)
+        pred1 = dlwp.predict(x)
+        path = str(tmp_path / "model")
+        save_model(dlwp, path)
+        loaded = load_model(path)
+        pred2 = loaded.predict(x)
+        np.testing.assert_allclose(pred1, pred2, atol=1e-6)
+
+    def test_imputation(self):
+        dlwp = self._build(impute_missing=True)
+        x = np.asarray(rand(16, 2, 8, 16)).copy()
+        x[0, 0, 0, 0] = np.nan
+        y = np.nan_to_num(np.roll(x, 1, axis=-1))
+        dlwp.init_fit(x, y)
+        dlwp.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        pred = dlwp.predict(x[:2])
+        assert np.isfinite(pred).all()
