@@ -1,0 +1,12 @@
+"""Data pipeline: predictor files, preprocessing, samplers, acquisition."""
+
+from dlwp_tpu.data.dataset import PredictorDataset
+from dlwp_tpu.data.preprocessing import Preprocessor
+from dlwp_tpu.data.sampler import SeriesSampler, device_prefetch
+
+__all__ = [
+    "PredictorDataset",
+    "Preprocessor",
+    "SeriesSampler",
+    "device_prefetch",
+]

@@ -1,0 +1,200 @@
+"""Tests for the data pipeline: predictor files, preprocessing, sampler.
+
+Index-arithmetic tests mirror the reference's SeriesDataGenerator semantics
+(generators.py:388-391, 529-605) exactly.
+"""
+
+import numpy as np
+import pytest
+
+from dlwp_tpu.data import PredictorDataset, Preprocessor, SeriesSampler, device_prefetch
+
+
+class SyntheticSource:
+    """Minimal DataSource: field(v, l) = deterministic ramp per channel."""
+
+    def __init__(self, n=40, nlat=9, nlon=18):
+        self.times = np.datetime64("2000-01-01") + np.arange(n) * np.timedelta64(
+            6, "h"
+        )
+        self.lat = np.linspace(90, -90, nlat)
+        self.lon = np.arange(nlon) * (360.0 / nlon)
+        self._n = n
+
+    def field(self, variable, level):
+        base = {"HGT": 5500.0, "THICK": 5000.0, "T2M": 280.0}[variable]
+        try:
+            lev = float(level)
+        except (TypeError, ValueError):
+            lev = 100.0
+        t = np.arange(self._n, dtype=np.float64)
+        ramp = t[:, None, None] + lev / 100.0
+        space = np.outer(
+            np.sin(np.radians(self.lat)), np.cos(np.radians(self.lon))
+        )
+        return base + ramp + 10.0 * space[None]
+
+
+def make_series(n=40, scale=True, **kw):
+    pp = Preprocessor(SyntheticSource(n=n))
+    return pp.data_to_series(
+        ["HGT", "THICK"], [500, "300-700"], pairwise=True,
+        scale_variables=scale, **kw,
+    )
+
+
+class TestPreprocessor:
+    def test_series_shape_and_scaling(self):
+        ds = make_series()
+        assert ds.dims == {"sample": 40, "varlev": 2, "lat": 9, "lon": 18}
+        assert ds.varlev == ["HGT/500", "THICK/300-700"]
+        arr = np.asarray(ds.predictors, dtype=np.float64)
+        # Scaled data: approximately zero mean, unit std per channel.
+        assert abs(arr[:, 0].mean()) < 1e-4
+        assert abs(arr[:, 0].std() - 1.0) < 1e-4
+        # Inverse scaling recovers physical values.
+        phys = ds.inverse_scale(arr[0])
+        assert 5400 < phys[0].mean() < 5700
+
+    def test_streaming_matches_exact(self):
+        ds_small_batch = make_series(batch_samples=7)
+        ds_big_batch = make_series(batch_samples=1000)
+        np.testing.assert_allclose(ds_small_batch.mean, ds_big_batch.mean, rtol=1e-12)
+        np.testing.assert_allclose(ds_small_batch.std, ds_big_batch.std, rtol=1e-12)
+
+    def test_unscaled(self):
+        ds = make_series(scale=False)
+        arr = np.asarray(ds.predictors)
+        assert arr[:, 0].mean() > 1000  # physical units retained
+        assert ds.mean is not None  # stats still recorded
+
+    def test_samples_format(self):
+        pp = Preprocessor(SyntheticSource(n=20))
+        ds = pp.data_to_samples(["HGT"], [500], time_steps=2)
+        assert ds.predictors.shape == (17, 2, 1, 9, 18)
+        assert ds.targets.shape == (17, 2, 1, 9, 18)
+        # Target steps follow input steps contiguously.
+        np.testing.assert_allclose(
+            np.asarray(ds.predictors)[2, 1], np.asarray(ds.predictors)[3, 0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(ds.targets)[0, 0], np.asarray(ds.predictors)[1, 1]
+        )
+
+    def test_file_roundtrip(self, tmp_path):
+        ds = make_series()
+        path = str(tmp_path / "predictors.h5")
+        ds.to_file(path)
+        back = PredictorDataset.from_file(path)
+        np.testing.assert_allclose(
+            np.asarray(back.predictors), np.asarray(ds.predictors)
+        )
+        assert back.varlev == ds.varlev
+        np.testing.assert_array_equal(back.sample, ds.sample)
+        np.testing.assert_allclose(back.mean, ds.mean)
+        lazy = PredictorDataset.from_file(path, load="lazy")
+        np.testing.assert_allclose(
+            np.asarray(lazy.predictors[3:5]), np.asarray(ds.predictors)[3:5]
+        )
+        lazy.close()
+
+
+class TestSeriesSampler:
+    def test_sample_count_arithmetic(self):
+        ds = make_series(n=40)
+        # Reference formula: N - in_ts - out_ts*seq + 2 - interval.
+        s = SeriesSampler(ds, input_time_steps=2, output_time_steps=2,
+                          sequence=3, interval=1, batch_size=8)
+        assert s._n_sample == 40 - 2 - 2 * 3 + 2 - 1
+        s2 = SeriesSampler(ds, input_time_steps=1, output_time_steps=1,
+                           interval=2, batch_size=8)
+        assert s2._n_sample == 40 - 1 - 1 + 2 - 2
+
+    def test_batch_shapes_convolutional(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_time_steps=2, output_time_steps=2,
+                          batch_size=8)
+        x, y = s[0]
+        assert x.shape == (8, 4, 9, 18)  # (B, T*C, H, W)
+        assert y.shape == (8, 4, 9, 18)
+        assert len(s) == int(np.ceil(s._n_sample / 8))
+
+    def test_batch_shapes_recurrent(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_time_steps=3, is_recurrent=True,
+                          batch_size=4)
+        x, y = s[0]
+        assert x.shape == (4, 3, 2, 9, 18)
+        assert y.shape == (4, 1, 2, 9, 18)  # time axis kept for recurrent
+
+    def test_target_offsets(self):
+        """targets[i, s, n] = series[i + in_ts + interval - 1 + out_ts*s + n]."""
+        ds = make_series(n=30)
+        arr = np.asarray(ds.predictors)
+        s = SeriesSampler(ds, input_time_steps=2, output_time_steps=1,
+                          sequence=2, interval=2, batch_size=4)
+        x, y = s.generate([5])
+        # inputs: series[5], series[6] stacked into channels
+        np.testing.assert_allclose(x[0, :2], arr[5])
+        np.testing.assert_allclose(x[0, 2:], arr[6])
+        # first target: series[5 + 2 + 2 - 1] = series[8]
+        np.testing.assert_allclose(y[0, 0], arr[8])
+        # second target group: + out_ts -> series[9]
+        np.testing.assert_allclose(y[0, 1], arr[9])
+
+    def test_input_output_selection(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_sel=["HGT/500", "THICK/300-700"],
+                          output_sel=["HGT/500"], batch_size=4)
+        x, y = s[0]
+        assert x.shape[1] == 2 and y.shape[1] == 1
+        arr = np.asarray(ds.predictors)
+        # Target is the HGT channel one step ahead of the input.
+        np.testing.assert_allclose(y[0, 0], arr[1, 0])
+
+    def test_insolation_channel(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_time_steps=2, add_insolation=True,
+                          batch_size=4)
+        assert s.convolution_shape == (2 * 3, 9, 18)
+        x, y = s[0]
+        assert x.shape == (4, 6, 9, 18)
+        # Insolation channels (index 2 and 5) are nonnegative everywhere.
+        assert (x[:, 2] >= 0).all() and (x[:, 5] >= 0).all()
+        # Successive input steps carry different insolation (6 h apart).
+        assert np.abs(x[:, 2] - x[:, 5]).max() > 1e-6
+
+    def test_nan_removal(self):
+        ds = make_series()
+        arr = np.array(ds.predictors)
+        arr[7, 0, 0, 0] = np.nan
+        ds.predictors = arr
+        s = SeriesSampler(ds, batch_size=1000, remove_nan=True)
+        x, y = s[0]
+        # Sample indices 6 and 7 both touch the NaN step (input or target).
+        assert len(x) == s._n_sample - 2
+
+    def test_shuffle_reproducible(self):
+        ds = make_series()
+        s1 = SeriesSampler(ds, batch_size=8, shuffle=True, seed=3)
+        s2 = SeriesSampler(ds, batch_size=8, shuffle=True, seed=3)
+        np.testing.assert_array_equal(s1._indices, s2._indices)
+        x1, _ = s1[0]
+        x2, _ = s2[0]
+        np.testing.assert_allclose(x1, x2)
+
+    def test_device_prefetch(self):
+        ds = make_series()
+        s = SeriesSampler(ds, batch_size=8)
+        batches = list(device_prefetch(s))
+        assert len(batches) == len(s)
+        import jax
+
+        assert isinstance(batches[0][0], jax.Array)
+        np.testing.assert_allclose(np.asarray(batches[0][0]), s[0][0])
+
+    def test_sample_times(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_time_steps=2, batch_size=4)
+        t = s.sample_times([0, 1])
+        np.testing.assert_array_equal(t, ds.sample[[1, 2]])
