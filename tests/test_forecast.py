@@ -1,0 +1,143 @@
+"""Tests for rollout orchestration and verification metrics."""
+
+import numpy as np
+import jax
+import pytest
+
+from dlwp_tpu.data import Preprocessor, SeriesSampler
+from dlwp_tpu.forecast import TimeSeriesEstimator, verify
+from dlwp_tpu.models import DLWPNeuralNet
+
+from test_data import SyntheticSource, make_series
+
+
+class TestVerifyMetrics:
+    def test_forecast_error_same_rank(self):
+        f = np.zeros((3, 4, 5))
+        v = np.ones((3, 4, 5))
+        np.testing.assert_allclose(verify.forecast_error(f, v, "mse"), [1, 1, 1])
+        np.testing.assert_allclose(verify.forecast_error(f, v, "rmse"), [1, 1, 1])
+        with pytest.raises(ValueError):
+            verify.forecast_error(f, v, "bogus")
+
+    def test_forecast_error_lagged(self):
+        # valid is a series; forecast[f] aligns with valid[f:].
+        valid = np.full((6, 1), 5.0)
+        forecast = np.stack([valid + 1, valid + 2])  # constant biases 1, 2
+        err = verify.forecast_error(forecast, valid, "mae")
+        np.testing.assert_allclose(err, [1.0, 2.0])
+
+    def test_persistence_and_climo(self):
+        valid = np.sin(np.arange(10))[:, None]
+        pers = verify.persistence_error(valid, valid, 3, "mse")
+        assert pers[0] == 0.0  # persistence at lag 0 is exact
+        assert pers[1] > 0.0
+        cl = verify.climo_error(valid, 3, "mse")
+        assert (cl > 0).all()
+
+    def test_monthly_climo(self):
+        times = np.datetime64("2001-01-01") + np.arange(365) * np.timedelta64(1, "D")
+        months = times.astype("datetime64[M]").astype(int) % 12
+        series = months.astype(float)[:, None]  # exactly the monthly mean
+        err = verify.monthly_climo_error(series, times, np.arange(365), method="rmse")
+        assert err < 1e-12
+        errs = verify.monthly_climo_error(series, times, np.arange(365), n_fhour=4)
+        assert errs.shape == (4,)
+
+    def test_predictors_to_time_series(self):
+        p = np.arange(2 * 3 * 4).reshape(2, 3, 4)
+        np.testing.assert_array_equal(
+            verify.predictors_to_time_series(p, 3), p[:, -1]
+        )
+        np.testing.assert_array_equal(
+            verify.predictors_to_time_series(p, 3, use_first_step=True), p[:, 0]
+        )
+        flat = p.reshape(2, 12)
+        np.testing.assert_array_equal(
+            verify.predictors_to_time_series(flat, 3, has_time_dim=False),
+            p.reshape(2, 3, 4)[:, -1],
+        )
+
+    def test_verification_from_series(self):
+        ds = make_series(n=20)
+        ver, f_hour = verify.verification_from_series(ds, forecast_steps=3, dt_hours=6)
+        assert ver.shape == (3,) + ds.predictors.shape
+        np.testing.assert_array_equal(f_hour, [6, 12, 18])
+        arr = np.asarray(ds.predictors)
+        # Entry [f, d] = state at init_time d + (f+1) steps.
+        np.testing.assert_allclose(ver[0, 0], arr[1])
+        np.testing.assert_allclose(ver[2, 4], arr[7])
+        # Beyond the end: NaN.
+        assert np.isnan(ver[2, -1]).all()
+
+
+class TestTimeSeriesEstimator:
+    def _fit_model(self, ds, **sampler_kw):
+        model = DLWPNeuralNet(time_dim=sampler_kw.get("input_time_steps", 1),
+                              scaler_type=None)
+        sampler = SeriesSampler(ds, model=model, batch_size=8, **sampler_kw)
+        c_in = sampler.convolution_shape[0]
+        c_out = sampler.output_convolution_shape[0]
+        model.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c_out, 3), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        return model, sampler
+
+    def test_matched_io_rollout(self):
+        ds = make_series(n=30)
+        model, sampler = self._fit_model(ds)
+        est = TimeSeriesEstimator(model, sampler)
+        fc = est.predict(4, samples=[0, 1, 2])
+        assert fc.values.shape == (4, 3, 2, 9, 18)
+        np.testing.assert_array_equal(fc.f_hour, [6, 12, 18, 24])
+        assert np.isfinite(fc.values).all()
+
+    def test_rollout_matches_manual_loop(self):
+        """Whole-state matched-I/O rollout must equal repeated predict."""
+        ds = make_series(n=30)
+        model, sampler = self._fit_model(ds)
+        est = TimeSeriesEstimator(model, sampler)
+        fc = est.predict(3, samples=[0, 1])
+        p, _ = sampler.generate([0, 1])
+        cur = p
+        for step in range(3):
+            cur = model.predict(cur)
+            np.testing.assert_allclose(
+                fc.values[step], cur, rtol=2e-4, atol=1e-5
+            )
+
+    def test_insolation_and_imputed_channels(self):
+        """Model predicts only HGT; THICK is imputed with the mean state and
+        SOL recomputed per valid time (extensions.py:231-240 semantics)."""
+        ds = make_series(n=30)
+        model = DLWPNeuralNet(time_dim=2, scaler_type=None)
+        sampler = SeriesSampler(
+            ds, model=model, input_time_steps=2, output_time_steps=2,
+            output_sel=["HGT/500"], add_insolation=True, batch_size=8,
+        )
+        c_out = sampler.output_convolution_shape[0]
+        model.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c_out, 3), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        est = TimeSeriesEstimator(model, sampler)
+        assert est._sources == [("pred", 0), ("impute", 1), ("sol", None)]
+        fc = est.predict(3, samples=[0, 1, 2])
+        assert fc.values.shape == (6, 3, 1, 9, 18)  # 3 iters x out_ts=2
+        np.testing.assert_array_equal(fc.f_hour, [6, 12, 18, 24, 30, 36])
+        assert np.isfinite(fc.values).all()
+        assert fc.varlev == ["HGT/500"]
+
+    def test_unscale(self):
+        ds = make_series(n=30)
+        model, sampler = self._fit_model(ds)
+        est = TimeSeriesEstimator(model, sampler)
+        fc_scaled = est.predict(2, samples=[0])
+        fc_phys = est.predict(2, samples=[0], unscale=True)
+        expect = fc_scaled.values * ds.std[:, None, None] + ds.mean[:, None, None]
+        np.testing.assert_allclose(fc_phys.values, expect, rtol=1e-5)
