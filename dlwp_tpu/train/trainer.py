@@ -285,7 +285,9 @@ class Trainer:
                 x0, _ = generator[0] if hasattr(generator, "__getitem__") else next(iter(generator))
             else:
                 x0 = x[:1]
-            self.init(self._device_put(np.asarray(x0)[:1]))
+            # Init from a single (unsharded) sample: batch size 1 cannot be
+            # sharded over the data axis.
+            self.init(jnp.asarray(np.asarray(x0)[:1]))
 
         n = None if x is None else len(x)
         for epoch in range(epochs):

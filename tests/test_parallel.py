@@ -1,0 +1,161 @@
+"""Multi-device tests on the 8-device virtual CPU mesh.
+
+Validates sharded paths against their single-device oracles, per
+SURVEY.md section 4(c): shard_map/halo-exchange/all-to-all-transpose
+correctness without TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dlwp_tpu.grid import LatLonGrid
+from dlwp_tpu.ops import cyclic_conv2d
+from dlwp_tpu.parallel import (
+    MeshConfig,
+    build_mesh,
+    batch_sharding,
+    sharded_cyclic_conv2d,
+)
+from dlwp_tpu.parallel.spectral import ShardedSphericalHarmonics
+from dlwp_tpu.spectral import SphericalHarmonics
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+class TestMesh:
+    def test_mesh_config_resolution(self):
+        assert MeshConfig(data=-1, lat=2).resolve(8) == (4, 2)
+        assert MeshConfig(data=2, lat=-1).resolve(8) == (2, 4)
+        with pytest.raises(ValueError):
+            MeshConfig(data=3, lat=3).resolve(8)
+
+    def test_build_mesh(self):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        assert mesh.shape == {"data": 2, "lat": 4}
+
+
+class TestShardedConv:
+    def test_matches_single_device(self):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 16, 24))
+        k = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 3, 3)) * 0.1
+        expect = cyclic_conv2d(x, k)
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "lat", None)))
+        out = sharded_cyclic_conv2d(xs, k, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-12)
+
+    def test_dilated(self):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=1, lat=8))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 32, 16))
+        k = jax.random.normal(jax.random.PRNGKey(3), (4, 2, 3, 3)) * 0.1
+        expect = cyclic_conv2d(x, k, dilation=(2, 2))
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        out = sharded_cyclic_conv2d(xs, k, mesh, dilation=(2, 2), data_axis=None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-12)
+
+
+class TestShardedSpectral:
+    def _engines(self, lat_shards=4):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=-1, lat=lat_shards))
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        ssh = ShardedSphericalHarmonics(sh, mesh)
+        return sh, ssh, mesh
+
+    def test_divisibility_check(self):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(30, 60)  # 30 lats not divisible by 4
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        with pytest.raises(ValueError, match="divide"):
+            ShardedSphericalHarmonics(sh, mesh)
+
+    def test_analyze_matches(self):
+        sh, ssh, mesh = self._engines()
+        f = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64))
+        expect = sh.analyze(f)
+        fs = jax.device_put(f, NamedSharding(mesh, P(None, "lat", None)))
+        got = ssh.analyze(fs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-12)
+
+    def test_synthesize_matches(self):
+        sh, ssh, mesh = self._engines()
+        f = jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+        spec = sh.analyze(f)
+        expect = sh.synthesize(spec)
+        specs = jax.device_put(spec, NamedSharding(mesh, P("lat", None)))
+        got = ssh.synthesize(specs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-12)
+
+    def test_roundtrip_sharded(self):
+        sh, ssh, mesh = self._engines()
+        f = jax.random.normal(jax.random.PRNGKey(2), (32, 64))
+        spec = sh.analyze(f)
+        fs = ssh.synthesize(
+            jax.device_put(spec, NamedSharding(mesh, P("lat", None)))
+        )
+        spec2 = ssh.analyze(fs)
+        np.testing.assert_allclose(
+            np.asarray(spec2), np.asarray(spec), atol=1e-12
+        )
+
+    def test_vector_transforms_match(self):
+        sh, ssh, mesh = self._engines()
+        key1, key2 = jax.random.split(jax.random.PRNGKey(3))
+        T = sh.truncation
+        vrt = (
+            jax.random.normal(key1, (T + 1, T + 1))
+            + 1j * jax.random.normal(key2, (T + 1, T + 1))
+        ) * sh.mask
+        vrt = vrt.at[0].set(vrt[0].real * sh.mask[0]).at[:, 0].set(0)
+        div = 0.3 * vrt
+        eu, ev = sh.uv_from_vrtdiv(vrt, div)
+        sspec = NamedSharding(mesh, P("lat", None))
+        u, v = ssh.uv_from_vrtdiv(
+            jax.device_put(vrt, sspec), jax.device_put(div, sspec)
+        )
+        np.testing.assert_allclose(np.asarray(u), np.asarray(eu), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ev), atol=1e-11)
+        evrt, ediv = sh.vrtdiv_from_uv(eu, ev)
+        gspec = NamedSharding(mesh, P("lat", None))
+        vrt2, div2 = ssh.vrtdiv_from_uv(
+            jax.device_put(u, gspec), jax.device_put(v, gspec)
+        )
+        np.testing.assert_allclose(np.asarray(vrt2), np.asarray(evrt), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(div2), np.asarray(ediv), atol=1e-11)
+
+
+class TestDataParallelTraining:
+    def test_batch_sharded_train_step(self):
+        require_devices(8)
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        mesh = build_mesh(MeshConfig(data=8, lat=1))
+        model = build_sequential(
+            [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (2, 3), {})]
+        )
+        x = np.random.RandomState(0).randn(16, 2, 8, 16).astype(np.float32)
+        y = np.roll(x, 1, axis=-1)
+        # Data-parallel trainer: batch sharded over 'data'.
+        tr = Trainer(model, TrainConfig(epochs=3, batch_size=16, seed=1),
+                     mesh=mesh, batch_spec=P("data"))
+        hist = tr.fit(x=x, y=y, verbose=False)
+        # Oracle: identical config on a single device.
+        tr2 = Trainer(model, TrainConfig(epochs=3, batch_size=16, seed=1))
+        hist2 = tr2.fit(x=x, y=y, verbose=False)
+        np.testing.assert_allclose(
+            hist.history["loss"], hist2.history["loss"], rtol=1e-5
+        )
