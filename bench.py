@@ -1,0 +1,123 @@
+"""Headline benchmark: flagship CNN autoregressive rollout throughput.
+
+Measures the 2.5-degree autoregressive forecast rollout (the reference's
+``predict_timeseries`` / ``TimeSeriesEstimator`` hot loop, SURVEY.md
+section 3.2) as a single jitted ``lax.scan`` on one chip, and reports
+grid-points per second per chip:
+
+    grid_points/s = batch * steps * nlat * nlon / elapsed
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the value recorded in
+``bench_baseline.json`` (the first measured round; 1.0 if absent -- the
+reference repository publishes no performance numbers, BASELINE.md).
+
+Secondary diagnostics (barotropic spectral core steps/s) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_cnn_rollout(batch=16, steps=64, nlat=36, nlon=144, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+
+    model, params, _ = _flagship(nlat=nlat, nlon=nlon)
+    c_in = 6
+    x0 = jnp.asarray(
+        np.random.RandomState(0).randn(batch, c_in, nlat, nlon),
+        dtype=jnp.float32,
+    )
+
+    c_out_total = 4  # model emits time_dim * c channels
+
+    def step(x, _):
+        pred = model.apply(params, x)
+        # Whole-state feedback with forcing channels persisted (matched-IO
+        # rollout: predicted channels replace their input slots).
+        nxt = jnp.concatenate([pred[:, :2], x[:, 2:3], pred[:, 2:], x[:, 5:6]], axis=1)
+        return nxt, pred[:, :1]
+
+    @jax.jit
+    def rollout(x):
+        _, out = jax.lax.scan(step, x, None, length=steps)
+        return out
+
+    out = rollout(x0)
+    jax.block_until_ready(out)  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = rollout(x0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    gps = batch * steps * nlat * nlon / elapsed
+    return gps, elapsed
+
+
+def bench_barotropic(steps=100):
+    import jax
+    import jax.numpy as jnp
+    from dlwp_tpu.grid import LatLonGrid
+    from dlwp_tpu.barotropic import BarotropicModelPsi
+
+    grid = LatLonGrid.regular(73, 144)
+    model = BarotropicModelPsi(
+        grid, 72, dt=1800.0, damping_coefficient=5e-6, dtype=jnp.float32
+    )
+    lat = np.radians(grid.lat)[:, None]
+    lon = np.radians(grid.lon)[None, :]
+    z = (5500.0 - 300.0 * np.sin(lat) ** 2
+         + 80.0 * np.cos(lat) ** 3 * np.cos(3 * lon)).astype(np.float32)
+    state = model.from_z(jnp.asarray(np.broadcast_to(z, (73, 144))))
+    out = model.run(state, steps)
+    jax.block_until_ready(out.vrt_spec)
+    t0 = time.perf_counter()
+    out = model.run(state, steps)
+    jax.block_until_ready(out.vrt_spec)
+    elapsed = time.perf_counter() - t0
+    return steps / elapsed
+
+
+def main():
+    gps, elapsed = bench_cnn_rollout()
+    try:
+        baro_sps = bench_barotropic()
+        print(
+            f"barotropic T72 (73x144, fp32): {baro_sps:.1f} steps/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary diagnostic must not break the bench
+        print(f"barotropic bench failed: {e}", file=sys.stderr)
+
+    baseline = 1.0
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = float(json.load(f).get("value", 1.0)) or 1.0
+        vs = gps / baseline
+    else:
+        vs = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "cnn_rollout_gridpoints_per_s_per_chip",
+                "value": round(gps, 1),
+                "unit": "gridpoint/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Tests for plotting utilities and acquisition module logic (the parts
+testable without network / pygrib / cdsapi)."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from dlwp_tpu.plot import (
+    plot_global_map,
+    history_plot,
+    forecast_example_plot,
+    zonal_mean_plot,
+    plot_movie,
+    radar_colormap,
+    blue_red_colormap,
+    rgb_colormap,
+    shifted_color_map,
+    remove_chars,
+    rotate_vector_r,
+)
+from dlwp_tpu.data.cfs import CFSReanalysis, six_hourly_dates, VARIABLE_ALIASES
+from dlwp_tpu.data.era5 import ERA5Reanalysis, PRESSURE_LEVELS
+
+
+class TestPlotUtils:
+    def test_colormaps(self):
+        assert radar_colormap().N == 16
+        assert blue_red_colormap(64).N == 64
+        cm = rgb_colormap([(255, 0, 0), (0, 0, 255)])
+        assert cm(0.0)[0] > 0.9  # starts red
+        sc = shifted_color_map(blue_red_colormap(), midpoint=0.3)
+        assert sc is not None
+
+    def test_remove_chars(self):
+        assert remove_chars("HGT/500 mb") == "HGT500mb"
+
+    def test_rotate_vector_identity_projection(self):
+        # With an identity "projection" scaled by cos(lat) in x, rotation
+        # preserves magnitude.
+        lons = np.arange(0, 360, 30.0)
+        lats = np.linspace(-60, 60, 5)
+        u = np.ones((5, 12))
+        v = np.zeros((5, 12))
+        proj = lambda lo, la: (lo, la)
+        uo, vo = rotate_vector_r(proj, u, v, lons, lats)
+        np.testing.assert_allclose(np.hypot(uo, vo), np.hypot(u, v), atol=1e-6)
+
+
+class TestPlotFunctions:
+    def test_figures_render(self, tmp_path):
+        lat = np.linspace(90, -90, 19)
+        lon = np.arange(0, 360, 10.0)
+        field = np.random.RandomState(0).randn(19, 36)
+        ax = plot_global_map(lat, lon, field, title="test")
+        assert ax is not None
+
+        fig = history_plot({"loss": [3, 2, 1], "val_loss": [3.5, 2.5, 1.5]},
+                           file_path=str(tmp_path / "hist.png"))
+        assert os.path.exists(tmp_path / "hist.png")
+
+        forecast_example_plot(field, field * 1.1, lat, lon, f_hour=24,
+                              file_path=str(tmp_path / "ex.png"))
+        assert os.path.exists(tmp_path / "ex.png")
+
+        zonal_mean_plot(field, lat, file_path=str(tmp_path / "zm.png"))
+        assert os.path.exists(tmp_path / "zm.png")
+
+    def test_movie(self, tmp_path):
+        lat = np.linspace(90, -90, 10)
+        lon = np.arange(0, 360, 36.0)
+        fields = np.random.RandomState(1).randn(3, 10, 10)
+        out = plot_movie(fields, lat, lon, str(tmp_path / "m.gif"),
+                         titles=["a", "b", "c"], fps=2)
+        assert os.path.exists(out)
+
+
+class TestCFSLogic:
+    def test_six_hourly_expansion(self):
+        dates = six_hourly_dates(datetime(2000, 1, 1), datetime(2000, 1, 2))
+        assert len(dates) == 5
+        assert dates[1] == datetime(2000, 1, 1, 6)
+
+    def test_url_and_path_construction(self, tmp_path):
+        cfs = CFSReanalysis(root_directory=str(tmp_path), resolution="l",
+                            run_type="06")
+        dt = datetime(2003, 7, 15, 6)
+        assert cfs.grib_path(dt) == (
+            "2003/200307/20030715/pgbl06.gdas.2003071506.grb2"
+        )
+        assert cfs.grib_url(dt).startswith("https://nomads.ncdc.noaa.gov/")
+        assert cfs.ny == 73 and cfs.nx == 144
+        hi = CFSReanalysis(root_directory=str(tmp_path), resolution="h")
+        assert hi.ny == 361 and hi.nx == 720
+        with pytest.raises(ValueError):
+            CFSReanalysis(resolution="x")
+        with pytest.raises(ValueError):
+            CFSReanalysis(run_type="99")
+
+    def test_set_dates_fill_hourly(self, tmp_path):
+        cfs = CFSReanalysis(root_directory=str(tmp_path))
+        cfs.set_dates([datetime(2000, 1, 1), datetime(2000, 1, 2)])
+        assert len(cfs.dataset_dates) == 5  # 6-hourly fill
+
+    def test_monthly_roundtrip_without_pygrib(self, tmp_path):
+        """Write a synthetic monthly file directly and open via the
+        DataSource API (decode path needs pygrib; storage path does not)."""
+        import h5py
+
+        cfs = CFSReanalysis(root_directory=str(tmp_path))
+        cfs.set_dates([datetime(2000, 1, 1), datetime(2000, 1, 1, 18)])
+        path = cfs.monthly_file(2000, 1)
+        times = np.array(cfs.dataset_dates, dtype="datetime64[ns]")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("time", data=times.astype(np.int64))
+            f.create_dataset("level", data=np.array([500, 1000]))
+            f.create_dataset("lat", data=np.linspace(90, -90, 73))
+            f.create_dataset("lon", data=np.arange(144) * 2.5)
+            f.create_dataset(
+                "gh", data=np.random.RandomState(0).randn(4, 2, 73, 144)
+            )
+        cfs.open([(2000, 1)])
+        assert cfs.times.shape == (4,)
+        f500 = cfs.field("HGT", 500)  # alias resolution
+        assert f500.shape == (4, 73, 144)
+        with pytest.raises(ValueError):
+            cfs.closest_lat_lon(45.0, 500.0)
+        idx = cfs.closest_lat_lon(45.0, 180.0)
+        assert cfs.lat[idx[0]] == 45.0
+
+    def test_retrieve_requires_no_network_when_cached(self, tmp_path):
+        cfs = CFSReanalysis(root_directory=str(tmp_path))
+        dt = datetime(2000, 1, 1)
+        cfs.set_dates([dt])
+        # Pre-create all the files so no network access happens.
+        for d in cfs.dataset_dates:
+            p = os.path.join(str(tmp_path), cfs.grib_path(d))
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(b"x")
+        cfs.retrieve()
+        assert len(cfs.raw_files) == len(cfs.dataset_dates)
+
+
+class TestERA5Logic:
+    def test_variable_and_level_validation(self, tmp_path):
+        era = ERA5Reanalysis(root_directory=str(tmp_path))
+        era.set_variables(["geopotential", "temperature"])
+        with pytest.raises(ValueError):
+            era.set_variables(["bogus_variable"])
+        era.set_levels([500, 1000])
+        with pytest.raises(ValueError):
+            era.set_levels([123])
+        assert 500 in PRESSURE_LEVELS
+
+    def test_request_construction(self, tmp_path):
+        era = ERA5Reanalysis(root_directory=str(tmp_path))
+        dates = [datetime(2000, 1, 1), datetime(2001, 6, 1)]
+        req = era.build_request(
+            "geopotential", 500, dates, request_kwargs={"grid": [2.0, 2.0]}
+        )
+        assert req["pressure_level"] == "500"
+        assert req["year"] == ["2000", "2001"]
+        assert req["grid"] == [2.0, 2.0]
+        assert req["time"] == ["00:00", "06:00", "12:00", "18:00"]
+        req_sfc = era.build_request("2m_temperature", None, dates)
+        assert "pressure_level" not in req_sfc
+
+    def test_file_path(self, tmp_path):
+        era = ERA5Reanalysis(root_directory=str(tmp_path), file_id="_test")
+        p = era.file_path("geopotential", 500)
+        assert p.endswith("era5_z_500_test.nc")
+
+    def test_retrieve_without_cdsapi_raises(self, tmp_path):
+        era = ERA5Reanalysis(root_directory=str(tmp_path))
+        import dlwp_tpu.data.era5 as mod
+
+        if mod.cdsapi is None:
+            with pytest.raises(RuntimeError, match="cdsapi"):
+                era.retrieve(["geopotential"], [500],
+                             [datetime(2000, 1, 1)])
