@@ -167,7 +167,23 @@ class SeriesSampler:
 
     # ------------------------------------------------------------- assembly
     def _gather(self, arr, samples: np.ndarray, offsets: range, chan_idx):
-        """Stack time-shifted slices: (B, T, C_sel, H, W)."""
+        """Stack time-shifted slices: (B, T, C_sel, H, W).
+
+        Uses the native threaded gather (native/batch_assembler.c) for
+        in-memory float32 series; falls back to numpy otherwise (lazy h5py
+        datasets, other dtypes).
+        """
+        if (
+            isinstance(arr, np.ndarray)
+            and arr.dtype == np.float32
+            and arr.flags.c_contiguous
+        ):
+            from dlwp_tpu.data.native import assemble
+
+            return assemble(
+                arr, samples, np.arange(offsets.start, offsets.stop),
+                np.asarray(chan_idx),
+            )
         taken = [
             np.asarray(arr[samples + n])[:, chan_idx] for n in offsets
         ]

@@ -37,6 +37,22 @@ def latitude_weights(
     return w
 
 
+class LatitudeWeightedLoss:
+    """Picklable latitude-weighted loss callable (see factory below)."""
+
+    def __init__(self, loss_function, lats, weighting="cosine", lat_axis=-2):
+        self.loss_function = loss_function
+        self.weights = latitude_weights(lats, weighting)
+        self.lat_axis = lat_axis
+        self.__name__ = "latitude_weighted_loss"
+
+    def __call__(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+        shape = [1] * y_true.ndim
+        shape[self.lat_axis] = self.weights.shape[0]
+        wb = jnp.asarray(self.weights).reshape(shape).astype(y_true.dtype)
+        return self.loss_function(y_true * wb, y_pred * wb)
+
+
 def latitude_weighted_loss(
     loss_function: Callable = mse,
     lats: np.ndarray | None = None,
@@ -56,15 +72,7 @@ def latitude_weighted_loss(
     """
     if lats is None:
         return loss_function
-    w = jnp.asarray(latitude_weights(lats, weighting))
-
-    def lat_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
-        shape = [1] * y_true.ndim
-        shape[lat_axis] = w.shape[0]
-        wb = w.reshape(shape).astype(y_true.dtype)
-        return loss_function(y_true * wb, y_pred * wb)
-
-    return lat_loss
+    return LatitudeWeightedLoss(loss_function, lats, weighting, lat_axis)
 
 
 def anomaly_correlation(
@@ -79,6 +87,39 @@ def anomaly_correlation(
     return jnp.mean(yp * yt) / jnp.sqrt(
         jnp.mean(yp**2) * jnp.mean(yt**2)
     )
+
+
+class AnomalyCorrelationLoss:
+    """Picklable ACC loss callable (see factory below)."""
+
+    def __init__(self, mean=None, regularize_mean="mse", reverse=True):
+        if regularize_mean is not None:
+            if regularize_mean not in ("global", "spatial", "mse", "mae"):
+                raise ValueError(f"bad regularize_mean {regularize_mean!r}")
+            reverse = True
+        self.mean = None if mean is None else np.asarray(mean)
+        self.regularize_mean = regularize_mean
+        self.reverse = reverse
+        self.__name__ = "anomaly_correlation_loss"
+
+    def __call__(self, y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+        a = anomaly_correlation(
+            y_true, y_pred, 0.0 if self.mean is None else jnp.asarray(self.mean)
+        )
+        reg = self.regularize_mean
+        if reg is None:
+            return -a if self.reverse else a
+        if reg == "global":
+            m = jnp.abs((jnp.mean(y_true) - jnp.mean(y_pred)) / jnp.mean(y_true))
+        elif reg == "spatial":
+            mt = jnp.mean(y_true, axis=(-2, -1))
+            mp = jnp.mean(y_pred, axis=(-2, -1))
+            m = jnp.mean(jnp.abs((mt - mp) / mt))
+        elif reg == "mse":
+            m = mse(y_true, y_pred)
+        else:  # mae
+            m = mae(y_true, y_pred)
+        return m - a if self.reverse else a - m
 
 
 def anomaly_correlation_loss(
@@ -97,28 +138,4 @@ def anomaly_correlation_loss(
         reverse: negate so minimizing drives ACC -> 1 (forced True when
             regularized, as in the reference).
     """
-    if regularize_mean is not None:
-        if regularize_mean not in ("global", "spatial", "mse", "mae"):
-            raise ValueError(f"bad regularize_mean {regularize_mean!r}")
-        reverse = True
-    mean_arr = None if mean is None else jnp.asarray(mean)
-
-    def acc_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
-        a = anomaly_correlation(
-            y_true, y_pred, 0.0 if mean_arr is None else mean_arr
-        )
-        if regularize_mean is None:
-            return -a if reverse else a
-        if regularize_mean == "global":
-            m = jnp.abs((jnp.mean(y_true) - jnp.mean(y_pred)) / jnp.mean(y_true))
-        elif regularize_mean == "spatial":
-            mt = jnp.mean(y_true, axis=(-2, -1))
-            mp = jnp.mean(y_pred, axis=(-2, -1))
-            m = jnp.mean(jnp.abs((mt - mp) / mt))
-        elif regularize_mean == "mse":
-            m = mse(y_true, y_pred)
-        else:  # mae
-            m = mae(y_true, y_pred)
-        return m - a if reverse else a - m
-
-    return acc_loss
+    return AnomalyCorrelationLoss(mean, regularize_mean, reverse)

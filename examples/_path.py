@@ -1,0 +1,8 @@
+"""Put the repository root on sys.path so examples run in place."""
+
+import os
+import sys
+
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _root not in sys.path:
+    sys.path.insert(0, _root)

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Forecast validation workflow.
+
+TPU-native equivalent of the reference's ``examples/validate.py``: load a
+trained model, roll out autoregressive forecasts with TimeSeriesEstimator,
+and compare RMSE-vs-forecast-hour against persistence, climatology, and the
+barotropic dynamical core. Produces an RMSE plot and a pickled result dict.
+
+Runs end-to-end on synthetic demo data when no files are given (it trains a
+small model in-line first).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import _path  # noqa: F401
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--predictor-file", default=None)
+    p.add_argument("--model-file", default=None,
+                   help="saved model prefix (default: quick in-line train)")
+    p.add_argument("--forecast-steps", type=int, default=12,
+                   help="model iterations (x dt hours each)")
+    p.add_argument("--validation-fraction", type=float, default=0.2)
+    p.add_argument("--plot-file", default="validate_rmse.png")
+    p.add_argument("--output-file", default="validate_results.pkl")
+    p.add_argument("--barotropic", action="store_true", default=True,
+                   help="include the barotropic physics baseline")
+    p.add_argument("--variable", default="HGT/500")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from dlwp_tpu.data import PredictorDataset, SeriesSampler
+    from dlwp_tpu.forecast import TimeSeriesEstimator, verify
+    from dlwp_tpu.models import DLWPNeuralNet
+    from dlwp_tpu.utils import load_model, train_test_split_ind
+
+    if args.predictor_file:
+        data = PredictorDataset.from_file(args.predictor_file)
+    else:
+        from _synthetic import synthetic_predictor_file
+
+        print("using synthetic demo data")
+        data = synthetic_predictor_file()
+
+    n = data.predictors.shape[0]
+    n_val = int(n * args.validation_fraction)
+    train_idx, val_idx = train_test_split_ind(n, n_val, method="last")
+    val_data = data.isel_sample(val_idx)
+
+    if args.model_file:
+        dlwp = load_model(args.model_file)
+    else:
+        print("training a quick demo model in-line...")
+        dlwp = DLWPNeuralNet(time_dim=1, scaler_type=None)
+        sampler0 = SeriesSampler(
+            data.isel_sample(train_idx), model=dlwp, batch_size=64
+        )
+        c = sampler0.convolution_shape[0]
+        dlwp.build_model(
+            [("CyclicConv2D", (32, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c, 3), {})],
+        )
+        dlwp.fit_generator(sampler0, epochs=5, verbose=False)
+
+    val_gen = SeriesSampler(val_data, model=dlwp,
+                            input_time_steps=dlwp.time_dim,
+                            output_time_steps=dlwp.time_dim, batch_size=64)
+    estimator = TimeSeriesEstimator(dlwp, val_gen)
+    n_iter = args.forecast_steps // estimator._out_ts
+    forecast = estimator.predict(max(1, n_iter))
+    dt_hours = estimator._dt_hours
+    steps_out = forecast.values.shape[0]
+
+    # Verification: state at init + (f+1) dt for each init time.
+    ver, f_hour = verify.verification_from_series(
+        val_data, forecast_steps=steps_out, dt_hours=int(dt_hours),
+        init_times=forecast.times, all_data=data,
+    )
+    out_idx = val_data.varlev_index(forecast.varlev)
+    ver = ver[:, :, out_idx]
+
+    v = forecast.varlev.index(args.variable) if args.variable in forecast.varlev else 0
+    results = {"f_hour": f_hour}
+    results["forecast_rmse"] = verify.forecast_error(
+        forecast.values[:, :, v], ver[:, :, v], method="rmse",
+        axis=tuple(range(1, ver[:, :, v].ndim)),
+    )
+    # Persistence baseline: initial state held fixed.
+    series = np.asarray(val_data.predictors)[:, out_idx][:, v]
+    results["persistence_rmse"] = verify.persistence_error(
+        series, series, steps_out, method="rmse"
+    )
+    results["climatology_rmse"] = verify.climo_error(
+        series, steps_out, method="rmse"
+    )
+
+    if args.barotropic:
+        results["barotropic_rmse"] = _barotropic_baseline(
+            data, val_data, forecast, ver, v, dt_hours, steps_out
+        )
+
+    # Report in physical units for the chosen variable.
+    std = data.std[out_idx][v] if data.std is not None else 1.0
+    print(f"\nRMSE vs forecast hour ({args.variable}, physical units):")
+    print(f"{'f_hour':>8}" + "".join(
+        f"{k.split('_')[0]:>14}" for k in results if k.endswith("_rmse")
+    ))
+    for i, fh in enumerate(f_hour):
+        row = f"{fh:>8.0f}"
+        for k in results:
+            if k.endswith("_rmse"):
+                row += f"{results[k][i] * std:>14.2f}"
+        print(row)
+
+    try:
+        from dlwp_tpu.plot import history_plot  # noqa: F401
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for k in results:
+            if k.endswith("_rmse"):
+                ax.plot(f_hour, np.asarray(results[k]) * std,
+                        label=k.replace("_rmse", ""))
+        ax.set_xlabel("forecast hour")
+        ax.set_ylabel(f"RMSE ({args.variable})")
+        ax.legend()
+        ax.grid(alpha=0.3)
+        fig.savefig(args.plot_file, dpi=120, bbox_inches="tight")
+        print(f"saved {args.plot_file}")
+    except Exception as e:
+        print(f"plotting skipped: {e}")
+
+    with open(args.output_file, "wb") as f:
+        pickle.dump(results, f)
+    print(f"saved {args.output_file}")
+    return results
+
+
+def _barotropic_baseline(data, val_data, forecast, ver, v, dt_hours, steps_out):
+    """Barotropic physics baseline (reference validate.py:250-273)."""
+    import jax.numpy as jnp
+
+    from dlwp_tpu.barotropic import BarotropicModelPsi
+    from dlwp_tpu.forecast import verify
+    from dlwp_tpu.grid import LatLonGrid
+
+    out_idx = val_data.varlev_index(forecast.varlev)
+    lat, lon = np.asarray(data.lat), np.asarray(data.lon)
+    if abs(abs(lat[0]) - 90.0) < 1e-6:
+        grid = LatLonGrid.regular(len(lat), len(lon))
+    else:
+        grid = LatLonGrid.from_coords(lat, lon)
+    # Initialize from the (unscaled) first variable at each init time.
+    init_idx = [
+        int(np.where(np.asarray(val_data.sample) == t)[0][0])
+        for t in forecast.times
+    ]
+    z0_scaled = np.asarray(val_data.predictors)[init_idx][:, out_idx][:, v]
+    mean = data.mean[out_idx][v] if data.mean is not None else 0.0
+    std = data.std[out_idx][v] if data.std is not None else 1.0
+    z0 = z0_scaled * std + mean
+    dt = 1800.0
+    model = BarotropicModelPsi(grid, min(42, grid.nlat - 2), dt=dt,
+                               damping_coefficient=5e-6, dtype=jnp.float32)
+    state = model.from_z(jnp.asarray(z0))
+    every = max(1, int(dt_hours * 3600.0 / dt))
+    _, _, zs = model.run_with_snapshots(state, steps_out, every)
+    zs = (np.asarray(zs) - mean) / std  # back to scaled space
+    return verify.forecast_error(
+        zs, ver[:, :, v], method="rmse", axis=tuple(range(1, zs.ndim))
+    )
+
+
+if __name__ == "__main__":
+    main()
