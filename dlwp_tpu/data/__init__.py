@@ -2,11 +2,12 @@
 
 from dlwp_tpu.data.dataset import PredictorDataset
 from dlwp_tpu.data.preprocessing import Preprocessor
-from dlwp_tpu.data.sampler import SeriesSampler, device_prefetch
+from dlwp_tpu.data.sampler import SeriesSampler, SamplesSampler, device_prefetch
 
 __all__ = [
     "PredictorDataset",
     "Preprocessor",
     "SeriesSampler",
+    "SamplesSampler",
     "device_prefetch",
 ]

@@ -304,3 +304,221 @@ class CFSReanalysis:
         if dist.min() > (2.5 if self.resolution == "l" else 1.0):
             raise ValueError("no grid point near requested lat/lon")
         return np.unravel_index(np.argmin(dist), dist.shape)
+
+
+# --------------------------------------------------------------------------
+# CFS Reforecast (forecast-skill comparison data)
+# --------------------------------------------------------------------------
+
+REFORECAST_START = datetime(1982, 1, 1)
+REFORECAST_END = datetime(2011, 3, 31)
+REFORECAST_VARIABLES = [
+    "chi200", "dswsfc", "lhtfl", "prate", "tmp2m", "tmpsfc", "ulwtoa",
+    "wind200", "wind850", "z500", "z700", "z1000",
+]
+
+
+class CFSReforecast:
+    """CFS Reforecast acquisition (reference ``CFSReforecast``,
+    cfsr.py:669-1191): the 45-day / 4-month hindcast time series on a
+    1-degree grid, used as a forecast-skill baseline
+    (examples/validate.py:278-301). Output files hold
+    (f_hour, time, lat, lon) per variable.
+    """
+
+    def __init__(self, root_directory: str | None = None,
+                 fill_hourly: bool = True, file_id: str = ""):
+        self.root_directory = root_directory or os.path.join(
+            os.path.expanduser("~"), ".cfsr"
+        )
+        self._root_url = "https://nomads.ncdc.noaa.gov/data/cfsr-rfl-ts45"
+        self.nx, self.ny = 360, 181
+        self.dt_hours = 6
+        self.variables = list(REFORECAST_VARIABLES)
+        self.fill_hourly = fill_hourly
+        self.file_id = file_id
+        self.dataset_dates: list[datetime] = []
+        self.raw_files: list[str] = []
+        self._opened: dict | None = None
+        self._times = self._f_hours = self._lat = self._lon = None
+
+    def set_dates(self, dates) -> None:
+        dates = sorted(dates)
+        if self.fill_hourly:
+            self.dataset_dates = six_hourly_dates(dates[0], dates[-1])
+        else:
+            self.dataset_dates = list(dates)
+
+    @staticmethod
+    def end_date(dt: datetime) -> datetime:
+        """Forecast end date: 00Z runs extend to the 1st of the month ~4
+        months out; off-hours runs extend 45 days (cfsr.py:817-824)."""
+        if dt.hour == 0:
+            return (dt.replace(day=1) + timedelta(days=130)).replace(day=1)
+        return dt + timedelta(days=45)
+
+    def grib_path(self, variable: str, dt: datetime) -> str:
+        start = dt.strftime("%Y%m%d%H")
+        end = self.end_date(dt).strftime("%Y%m%d%H")
+        subdir = dt.strftime(f"{variable}/%Y/%Y%m/%Y%m%d")
+        return f"{subdir}/{variable}.{start}.{end}.grb2"
+
+    def grib_url(self, variable: str, dt: datetime) -> str:
+        return f"{self._root_url}/{self.grib_path(variable, dt)}"
+
+    def retrieve(self, dates="all", variables="all", n_proc: int = 4,
+                 verbose: bool = False) -> None:
+        """Download reforecast GRIBs (cfsr.py:777-869); idempotent."""
+        if dates != "all":
+            self.set_dates(dates)
+        if variables == "all":
+            variables = self.variables
+        self.raw_files = []
+        for var in variables:
+            for dt in self.dataset_dates:
+                if dt < REFORECAST_START or dt > REFORECAST_END:
+                    warnings.warn(f"date {dt} outside reforecast range")
+                    continue
+                rel = self.grib_path(var, dt)
+                local = os.path.join(self.root_directory, rel)
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                self.raw_files.append(rel)
+
+        def fetch(rel):
+            local = os.path.join(self.root_directory, rel)
+            if os.path.exists(local) and os.path.getsize(local) > 0:
+                return
+            url = f"{self._root_url}/{rel}"
+            for attempt in (1, 2):
+                try:
+                    with urlopen(url) as r, open(local, "wb") as f:
+                        f.write(r.read())
+                    return
+                except Exception as e:
+                    if attempt == 2:
+                        warnings.warn(f"failed to download {url}: {e}")
+
+        with ThreadPoolExecutor(max_workers=max(1, n_proc)) as pool:
+            list(pool.map(fetch, self.raw_files))
+
+    def monthly_file(self, variable: str, year: int, month: int) -> str:
+        return os.path.join(
+            self.root_directory,
+            f"cfsrf_{variable}_{year}{month:02d}{self.file_id}.h5",
+        )
+
+    def write(self, variables="all", max_f_hours: int = 1080,
+              regrid_to=None, verbose: bool = False) -> None:
+        """Decode reforecast GRIBs into monthly (f_hour, time, lat, lon)
+        files (cfsr.py:871-1156); optional bivariate-spline regridding to a
+        target (lat, lon) grid (cfsr.py:1014-1019)."""
+        if pygrib is None:
+            raise RuntimeError("pygrib is required to decode GRIB2 files")
+        if h5py is None:
+            raise RuntimeError("h5py is required")
+        if variables == "all":
+            variables = self.variables
+        n_f = max_f_hours // self.dt_hours + 1
+        months: dict[tuple[int, int], list[datetime]] = {}
+        for dt in self.dataset_dates:
+            months.setdefault((dt.year, dt.month), []).append(dt)
+        for var in variables:
+            for (year, month), dts in sorted(months.items()):
+                dts = sorted(dts)
+                data = lat = lon = None
+                for i, dt in enumerate(dts):
+                    local = os.path.join(
+                        self.root_directory, self.grib_path(var, dt)
+                    )
+                    if not os.path.exists(local):
+                        warnings.warn(f"missing {local}; skipping")
+                        continue
+                    grbs = pygrib.open(local)
+                    for msg in grbs:
+                        fh = int(
+                            (msg.validDate - dt).total_seconds() // 3600
+                        )
+                        if fh % self.dt_hours or fh > max_f_hours:
+                            continue
+                        vals = msg.values
+                        if lat is None:
+                            la, lo = msg.latlons()
+                            lat, lon = la[:, 0], lo[0, :]
+                        if regrid_to is not None:
+                            vals, lat2, lon2 = _regrid(vals, lat, lon,
+                                                       *regrid_to)
+                        else:
+                            lat2, lon2 = lat, lon
+                        if data is None:
+                            data = np.full(
+                                (n_f, len(dts), len(lat2), len(lon2)),
+                                np.nan, np.float32,
+                            )
+                        data[fh // self.dt_hours, i] = vals
+                    grbs.close()
+                if data is None:
+                    continue
+                with h5py.File(self.monthly_file(var, year, month), "w") as f:
+                    f.create_dataset(
+                        "time",
+                        data=np.array(dts, dtype="datetime64[ns]").astype(np.int64),
+                    )
+                    f.create_dataset(
+                        "f_hour",
+                        data=np.arange(n_f) * self.dt_hours,
+                    )
+                    f.create_dataset("lat", data=lat2)
+                    f.create_dataset("lon", data=lon2)
+                    f.create_dataset(var, data=data)
+                if verbose:
+                    print(f"wrote {self.monthly_file(var, year, month)}")
+
+    def open(self, variable: str, years_months) -> "CFSReforecast":
+        """Open monthly reforecast files, concatenated along init time
+        (cfsr.py:1158-1191)."""
+        if h5py is None:
+            raise RuntimeError("h5py is required")
+        arrays, times = [], []
+        for year, month in sorted(years_months):
+            with h5py.File(self.monthly_file(variable, year, month), "r") as f:
+                times.append(f["time"][:].astype("datetime64[ns]"))
+                self._f_hours = f["f_hour"][:]
+                self._lat = f["lat"][:]
+                self._lon = f["lon"][:]
+                arrays.append(f[variable][:])
+        self._times = np.concatenate(times)
+        self._opened = {variable: np.concatenate(arrays, axis=1)}
+        return self
+
+    @property
+    def times(self):
+        return self._times
+
+    @property
+    def f_hours(self):
+        return self._f_hours
+
+    @property
+    def lat(self):
+        return self._lat
+
+    @property
+    def lon(self):
+        return self._lon
+
+    def forecast(self, variable: str) -> np.ndarray:
+        """(f_hour, time, lat, lon) forecast array for verification."""
+        return self._opened[variable]
+
+
+def _regrid(vals, lat, lon, new_lat, new_lon):
+    """Bivariate-spline regrid (reference cfsr.py:1014-1019 capability)."""
+    from scipy.interpolate import RectBivariateSpline
+
+    order = np.argsort(lat)
+    spl = RectBivariateSpline(lat[order], lon, vals[order])
+    out = spl(np.sort(new_lat), new_lon)
+    # restore requested latitude orientation
+    if new_lat[0] > new_lat[-1]:
+        out = out[::-1]
+    return out, np.asarray(new_lat), np.asarray(new_lon)

@@ -280,6 +280,107 @@ class SeriesSampler:
         return self.data.sample[samples + self._in_ts - 1]
 
 
+class SamplesSampler:
+    """Batches straight from a samples-format file with explicit
+    ``predictors`` and ``targets`` (the reference's simplest ``DataGenerator``,
+    generators.py:19-159): NaN-sample removal, optional model
+    scaler/imputer application, conv/recurrent shaping.
+
+    ``SmartDataGenerator`` (generators.py:162-320, deprecated in the
+    reference) reconstructed targets from a series to halve memory; use
+    :class:`SeriesSampler` on a series-format file for that.
+    """
+
+    def __init__(
+        self,
+        data: PredictorDataset,
+        model=None,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        remove_nan: bool = True,
+        is_convolutional: bool | None = None,
+        is_recurrent: bool | None = None,
+        seed: int = 0,
+    ):
+        if data.targets is None:
+            raise ValueError(
+                "SamplesSampler requires a samples-format dataset with "
+                "targets (generators.py:36-37)"
+            )
+        self.data = data
+        self.model = model
+        self._is_convolutional = (
+            is_convolutional
+            if is_convolutional is not None
+            else getattr(model, "is_convolutional", True)
+        )
+        self._keep_time_axis = (
+            is_recurrent
+            if is_recurrent is not None
+            else getattr(model, "is_recurrent", False)
+        )
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._remove_nan = remove_nan
+        self._rng = np.random.RandomState(seed)
+        self._n_sample = data.predictors.shape[0]
+        self.on_epoch_end()
+
+    @property
+    def convolution_shape(self):
+        s = self.data.predictors.shape[1:]
+        if len(s) == 4 and not self._keep_time_axis:
+            return (s[0] * s[1],) + s[2:]
+        return s
+
+    def on_epoch_end(self):
+        self._indices = np.arange(self._n_sample)
+        if self._shuffle:
+            self._rng.shuffle(self._indices)
+
+    def __len__(self):
+        return int(np.ceil(self._n_sample / self._batch_size))
+
+    def generate(self, samples=(), scale_and_impute: bool = True):
+        samples = (
+            np.arange(self._n_sample)
+            if len(samples) == 0
+            else np.asarray(samples)
+        )
+        p = np.asarray(self.data.predictors)[samples]
+        t = np.asarray(self.data.targets)[samples]
+        if self._remove_nan:
+            keep = ~(
+                np.isnan(p.reshape(len(p), -1)).any(axis=1)
+                | np.isnan(t.reshape(len(t), -1)).any(axis=1)
+            )
+            p, t = p[keep], t[keep]
+        if scale_and_impute and self.model is not None:
+            if getattr(self.model, "impute", False) and self.model.imputer:
+                p, t = self.model.imputer_transform(p, t)
+            if getattr(self.model, "scaler", None) is not None:
+                p, t = self.model.scaler_transform(p, t)
+        if not self._keep_time_axis and p.ndim == 5:
+            p = p.reshape((len(p), -1) + p.shape[3:])
+            t = t.reshape((len(t), -1) + t.shape[3:])
+        return p, t
+
+    def __getitem__(self, index):
+        if index < 0:
+            index = len(self) + index
+        if index >= len(self):
+            raise IndexError
+        sel = self._indices[
+            index * self._batch_size : (index + 1) * self._batch_size
+        ]
+        return self.generate(sel)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+        self.on_epoch_end()
+
+
 def device_prefetch(sampler, sharding=None, depth: int = 2):
     """Iterate a sampler with background host->device staging.
 

@@ -12,7 +12,7 @@ from dlwp_tpu.models.layers import (
     get_activation,
 )
 from dlwp_tpu.models.cnn import SequentialModel, build_sequential, LAYER_REGISTRY
-from dlwp_tpu.models.api import DLWPNeuralNet
+from dlwp_tpu.models.api import DLWPNeuralNet, DLWPFunctional
 
 __all__ = [
     "CyclicConv2D",
@@ -28,4 +28,5 @@ __all__ = [
     "build_sequential",
     "LAYER_REGISTRY",
     "DLWPNeuralNet",
+    "DLWPFunctional",
 ]

@@ -275,3 +275,39 @@ class DLWPNeuralNet:
             cfg = self._train_config or TrainConfig()
             self.trainer = Trainer(self.base_model, cfg)
             self.trainer.params = self._params
+
+
+class DLWPFunctional(DLWPNeuralNet):
+    """Multi-step ("functional") model API (reference ``DLWPFunctional``,
+    models.py:319-465).
+
+    The reference builds a Keras functional graph whose multiple outputs are
+    successive rollout steps trained jointly (``_n_steps =
+    len(model.outputs)``, models.py:364). Here the same capability is the
+    single flax model trained with ``sequence_steps`` rollout loss
+    (Trainer._forward_loss); this subclass pins the reference's conventions:
+    no scaling/imputing (models.py:321-322) and sequence training on by
+    default.
+    """
+
+    def __init__(self, is_convolutional=True, is_recurrent=False, time_dim=1):
+        super().__init__(
+            is_convolutional=is_convolutional,
+            is_recurrent=is_recurrent,
+            time_dim=time_dim,
+            scaler_type=None,
+            impute_missing=False,
+        )
+        self._n_steps = 1
+
+    def build_model(self, layers, sequence_steps: int = 2, **kwargs):
+        super().build_model(layers, sequence_steps=sequence_steps, **kwargs)
+        self._n_steps = sequence_steps
+
+    def predict_sequence(self, predictors, **kwargs):
+        """One model call per ``_n_steps`` future states (the reference's
+        multi-output predict, models.py:414-452): returns
+        (n_steps * time_dim, sample, ...) by rolling the model."""
+        return self.predict_timeseries(
+            predictors, self._n_steps * self.time_dim, **kwargs
+        )

@@ -212,16 +212,38 @@ class SphericalHarmonics:
         return jnp.fft.irfft(F * self.grid.nlon, n=self.grid.nlon, axis=-1)
 
     def _legendre_syn(self, table: jax.Array, spec: jax.Array) -> jax.Array:
-        """(..., m, n) coeffs -> (..., m, j) Fourier modes via real table."""
-        return jnp.einsum(
-            "mjn,...mn->...mj", table, spec, preferred_element_type=self.cdtype
+        """(..., m, n) coeffs -> (..., m, j) Fourier modes via real table.
+
+        The table is real, so the complex contraction decomposes exactly
+        into independent real contractions on Re/Im -- stacked into one
+        batched matmul (2x fewer real matmuls than XLA's generic complex
+        product, and better MXU utilization from the doubled batch).
+        """
+        if not jnp.iscomplexobj(spec):
+            return jnp.einsum(
+                "mjn,...mn->...mj", table, spec,
+                preferred_element_type=self.dtype,
+            )
+        ri = jnp.stack([spec.real, spec.imag])  # (2, ..., m, n)
+        out = jnp.einsum(
+            "mjn,k...mn->k...mj", table, ri.astype(self.dtype),
+            preferred_element_type=self.dtype,
         )
+        return jax.lax.complex(out[0], out[1])
 
     def _legendre_ana(self, table: jax.Array, Fm: jax.Array) -> jax.Array:
         """(..., m, j) Fourier modes -> (..., m, n) coeffs via real table."""
-        return jnp.einsum(
-            "mnj,...mj->...mn", table, Fm, preferred_element_type=self.cdtype
+        if not jnp.iscomplexobj(Fm):
+            return jnp.einsum(
+                "mnj,...mj->...mn", table, Fm,
+                preferred_element_type=self.dtype,
+            )
+        ri = jnp.stack([Fm.real, Fm.imag])
+        out = jnp.einsum(
+            "mnj,k...mj->k...mn", table, ri.astype(self.dtype),
+            preferred_element_type=self.dtype,
         )
+        return jax.lax.complex(out[0], out[1])
 
     # ------------------------------------------------------------- public API
     def analyze(self, field: jax.Array) -> jax.Array:

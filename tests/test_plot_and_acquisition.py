@@ -180,3 +180,107 @@ class TestERA5Logic:
             with pytest.raises(RuntimeError, match="cdsapi"):
                 era.retrieve(["geopotential"], [500],
                              [datetime(2000, 1, 1)])
+
+
+class TestCFSReforecast:
+    def test_end_date_logic(self):
+        from dlwp_tpu.data.cfs import CFSReforecast
+
+        c = CFSReforecast(root_directory="/tmp/cfsrf")
+        # 00Z runs: 1st of the month ~4 months out (cfsr.py:817-824).
+        assert c.end_date(datetime(2003, 1, 1, 0)) == datetime(2003, 5, 1)
+        # off-hour runs: 45 days.
+        assert c.end_date(datetime(2003, 1, 15, 6)) == datetime(2003, 3, 1, 6)
+
+    def test_monthly_roundtrip(self, tmp_path):
+        import h5py
+        from dlwp_tpu.data.cfs import CFSReforecast
+
+        c = CFSReforecast(root_directory=str(tmp_path))
+        times = np.array(
+            [datetime(2003, 1, 1), datetime(2003, 1, 1, 6)],
+            dtype="datetime64[ns]",
+        )
+        with h5py.File(c.monthly_file("z500", 2003, 1), "w") as f:
+            f.create_dataset("time", data=times.astype(np.int64))
+            f.create_dataset("f_hour", data=np.arange(0, 49, 6))
+            f.create_dataset("lat", data=np.linspace(90, -90, 181))
+            f.create_dataset("lon", data=np.arange(360.0))
+            f.create_dataset(
+                "z500",
+                data=np.random.RandomState(0).rand(9, 2, 181, 360).astype(
+                    np.float32
+                ),
+            )
+        c.open("z500", [(2003, 1)])
+        fc = c.forecast("z500")
+        assert fc.shape == (9, 2, 181, 360)
+        assert c.f_hours[-1] == 48
+
+    def test_regrid(self):
+        from dlwp_tpu.data.cfs import _regrid
+
+        lat = np.linspace(90, -90, 19)
+        lon = np.arange(0, 360, 10.0)
+        vals = np.outer(np.sin(np.radians(lat)), np.ones(36))
+        out, la2, lo2 = _regrid(vals, lat, lon,
+                                np.linspace(90, -90, 37),
+                                np.arange(0, 360, 5.0))
+        assert out.shape == (37, 72)
+        # Value at the equator row stays ~0; poles ~ +-1.
+        assert abs(out[18].mean()) < 1e-6
+        assert out[0].mean() > 0.9
+
+
+class TestSamplesSampler:
+    def test_batches_from_samples_format(self):
+        from dlwp_tpu.data import Preprocessor, SamplesSampler
+        from test_data import SyntheticSource
+
+        pp = Preprocessor(SyntheticSource(n=20))
+        ds = pp.data_to_samples(["HGT"], [500], time_steps=2)
+        s = SamplesSampler(ds, batch_size=5)
+        x, y = s[0]
+        assert x.shape == (5, 2, 9, 18)  # time folded into channels
+        assert y.shape == (5, 2, 9, 18)
+        assert len(s) == int(np.ceil(ds.predictors.shape[0] / 5))
+        # Keep time axis for recurrent models.
+        s2 = SamplesSampler(ds, batch_size=5, is_recurrent=True)
+        x2, _ = s2[0]
+        assert x2.shape == (5, 2, 1, 9, 18)
+
+    def test_requires_targets(self):
+        from dlwp_tpu.data import SamplesSampler
+        from test_data import make_series
+
+        with pytest.raises(ValueError, match="samples-format"):
+            SamplesSampler(make_series())
+
+
+class TestCallbacks:
+    def test_learning_rate_tracker(self):
+        from dlwp_tpu.train import LearningRateTracker
+
+        t = LearningRateTracker(1e-3, kind="sgd", decay=0.1)
+        assert t.effective_lr(0) == 1e-3 / 1.1
+        ta = LearningRateTracker(1e-3, kind="adam")
+        assert ta.effective_lr(0) > 0
+
+    def test_run_history_jsonl(self, tmp_path):
+        import json
+        from dlwp_tpu.train import JsonlRun, RunHistory
+
+        run = JsonlRun(str(tmp_path / "run.jsonl"))
+        cb = RunHistory(run)
+        cb(0, {"loss": 1.5, "val_loss": 2.0}, None)
+        lines = [json.loads(l) for l in open(tmp_path / "run.jsonl")]
+        assert {l["key"] for l in lines} == {"loss", "val_loss"}
+
+    def test_batch_history(self):
+        from dlwp_tpu.train import BatchHistory
+
+        bh = BatchHistory()
+        bh.on_batch(1.0)
+        bh.on_batch(0.5)
+        bh(0, {}, None)
+        assert bh.batch_losses == [[1.0, 0.5]]
