@@ -1,0 +1,69 @@
+"""Multi-host initialization and cross-host mesh construction.
+
+The reference has no distributed backend at all (SURVEY.md section 5.8);
+this is the TPU-native layer: ``jax.distributed.initialize`` over DCN, and
+meshes laid out so the latitude/spectral axis rides ICI within a slice
+while the data axis spans hosts over DCN.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from dlwp_tpu.parallel.mesh import MeshConfig
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX.
+
+    With no arguments, relies on the TPU environment's automatic discovery
+    (GKE/queued resources set the coordination variables); explicit
+    arguments support manual bring-up. Idempotent.
+    """
+    if jax.process_count() > 1 or getattr(
+        jax.distributed.global_state, "client", None
+    ):
+        return
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def multihost_mesh(
+    config: MeshConfig | None = None,
+    ici_axis: str = "lat",
+) -> Mesh:
+    """Build a (data, lat) mesh with the ``lat`` (halo/spectral-transpose)
+    axis mapped to intra-slice ICI neighbors and ``data`` (gradient psum)
+    spanning hosts.
+
+    Uses ``mesh_utils.create_device_mesh`` for a topology-aware layout when
+    available.
+    """
+    from jax.experimental import mesh_utils
+
+    config = config or MeshConfig()
+    d, l = config.resolve(jax.device_count())
+    try:
+        devices = mesh_utils.create_device_mesh((d, l))
+    except Exception:
+        devices = np.asarray(jax.devices()).reshape(d, l)
+    return Mesh(devices, ("data", ici_axis))
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0

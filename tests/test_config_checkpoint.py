@@ -1,0 +1,76 @@
+"""Tests for typed configs and orbax checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlwp_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+from dlwp_tpu.train import TrainConfig, save_checkpoint, restore_checkpoint
+from dlwp_tpu.parallel.mesh import MeshConfig
+
+
+class TestExperimentConfig:
+    def test_roundtrip_json(self, tmp_path):
+        cfg = ExperimentConfig(
+            name="test",
+            data=DataConfig(input_time_steps=3, batch_size=32),
+            model=ModelConfig(
+                layers=(("CyclicConv2D", (8, 3), {"activation": "tanh"}),)
+            ),
+            train=TrainConfig(loss="mse", learning_rate=2e-3, epochs=5),
+            mesh=MeshConfig(data=2, lat=4),
+        )
+        path = str(tmp_path / "cfg.json")
+        cfg.to_json(path)
+        back = ExperimentConfig.from_json(path)
+        assert back.data.input_time_steps == 3
+        assert back.train.learning_rate == 2e-3
+        assert back.mesh.lat == 4
+        assert back.name == "test"
+
+    def test_unknown_field_rejected(self):
+        with pytest.raises(ValueError, match="unknown"):
+            ExperimentConfig.from_dict({"data": {"bogus_field": 1}})
+
+    def test_defaults(self):
+        cfg = ExperimentConfig()
+        assert cfg.data.add_insolation is True
+        assert cfg.train.optimizer == "adam"
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        params = {
+            "dense": {
+                "kernel": jnp.asarray(np.random.RandomState(0).randn(4, 8)),
+                "bias": jnp.zeros(8),
+            }
+        }
+        import optax
+
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        save_checkpoint(
+            str(tmp_path / "ckpt"), params, opt_state, step=7,
+            metadata={"scaler_mean": [1.0, 2.0], "note": "test"},
+        )
+        state, meta = restore_checkpoint(str(tmp_path / "ckpt"))
+        np.testing.assert_allclose(
+            np.asarray(state["params"]["dense"]["kernel"]),
+            np.asarray(params["dense"]["kernel"]),
+        )
+        assert meta["note"] == "test"
+        assert meta["scaler_mean"] == [1.0, 2.0]
+
+    def test_latest_step_selected(self, tmp_path):
+        p1 = {"w": jnp.ones(3)}
+        p2 = {"w": jnp.full(3, 2.0)}
+        save_checkpoint(str(tmp_path / "c"), p1, step=1)
+        save_checkpoint(str(tmp_path / "c"), p2, step=5)
+        state, _ = restore_checkpoint(str(tmp_path / "c"))
+        np.testing.assert_allclose(np.asarray(state["params"]["w"]), 2.0)
+
+    def test_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            restore_checkpoint(str(tmp_path / "empty"))

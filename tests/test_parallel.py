@@ -199,3 +199,37 @@ class TestPallasHalo:
                                            interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-6)
+
+
+class TestShardedBarotropic:
+    def test_matches_single_device_trajectory(self):
+        """20-step sharded integration must match the single-device model."""
+        require_devices(8)
+        import jax.numpy as jnp
+        from dlwp_tpu.parallel.barotropic import ShardedBarotropicModel
+        from dlwp_tpu.barotropic import BarotropicModel
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        T = 15  # T+1 = 16 divisible by 4
+        kwargs = dict(dt=1800.0, damping_coefficient=1e-4, dtype=jnp.float64)
+        ref = BarotropicModel(grid, T, **kwargs)
+        shd = ShardedBarotropicModel(grid, T, mesh=mesh, **kwargs)
+
+        lat = np.radians(grid.lat)[:, None]
+        lon = np.radians(grid.lon)[None, :]
+        z = 5500.0 - 300.0 * np.sin(lat) ** 2 + 60.0 * np.cos(lat) ** 3 * np.cos(3 * lon)
+        state = ref.from_z(jnp.asarray(np.broadcast_to(z, (32, 64))))
+        expect = ref.run(state, 20)
+
+        sharded_state = BarotropicState = state.replace(
+            vrt_spec=jax.device_put(state.vrt_spec, shd.spec_sharding()),
+            vrt_spec_prev=jax.device_put(state.vrt_spec_prev, shd.spec_sharding()),
+        )
+        got = shd.run_sharded(sharded_state, 20)
+        scale = np.abs(np.asarray(expect.vrt_spec)).max()
+        np.testing.assert_allclose(
+            np.asarray(got.vrt_spec), np.asarray(expect.vrt_spec),
+            atol=1e-12 * scale,
+        )
+        assert int(got.step) == 20
