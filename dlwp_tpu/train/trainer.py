@@ -258,6 +258,9 @@ class Trainer:
         batch_size: int | None = None,
         verbose: bool = True,
         callbacks: list | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
     ) -> History:
         """Train from arrays or a batch generator.
 
@@ -265,6 +268,12 @@ class Trainer:
         re-iteration per epoch (the reference's ``keras.utils.Sequence``
         protocol, generators.py:323-629). ``validation_data`` is (x, y)
         arrays or a generator.
+
+        ``checkpoint_dir``: write an orbax checkpoint of {params, opt_state}
+        every ``checkpoint_every`` epochs; with ``resume=True``, restore the
+        latest checkpoint before training and continue from its epoch (the
+        mid-training checkpoint/resume the reference lacks, SURVEY.md
+        section 5.4).
         """
         cfg = self.config
         epochs = epochs or cfg.epochs
@@ -289,8 +298,26 @@ class Trainer:
             # sharded over the data axis.
             self.init(jnp.asarray(np.asarray(x0)[:1]))
 
+        start_epoch = 0
+        if checkpoint_dir and resume:
+            from dlwp_tpu.train.checkpoint import restore_checkpoint
+
+            try:
+                state, meta = restore_checkpoint(
+                    checkpoint_dir,
+                    template={"params": self.params,
+                              "opt_state": self.opt_state},
+                )
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resumed from epoch {start_epoch}")
+            except FileNotFoundError:
+                pass
+
         n = None if x is None else len(x)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_metrics: dict[str, list] = {}
             if generator is not None:
@@ -304,6 +331,12 @@ class Trainer:
                     for i in range(0, n, batch_size)
                 )
             for xb, yb in epoch_iter:
+                if self._sharding is not None:
+                    # Data-parallel batches must tile the data axis; drop a
+                    # ragged final batch (drop_remainder semantics).
+                    n_shards = self.mesh.shape.get("data", 1)
+                    if len(xb) % n_shards:
+                        continue
                 xb = self._device_put(np.asarray(xb))
                 yb = self._device_put(np.asarray(yb))
                 self.params, self.opt_state, m = self._jit_train_step(
@@ -325,6 +358,13 @@ class Trainer:
             history.append(epoch, metrics)
             for cb in callbacks or []:
                 cb(epoch, metrics, self.params)
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                from dlwp_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_dir, self.params, self.opt_state,
+                    step=epoch, metadata={"epoch": epoch, **metrics},
+                )
             if verbose:
                 desc = " ".join(
                     f"{k}={v:.6g}" for k, v in metrics.items()
