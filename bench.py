@@ -25,7 +25,10 @@ import time
 import numpy as np
 
 
-def bench_cnn_rollout(batch=16, steps=64, nlat=36, nlon=144, repeats=3):
+def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3):
+    # batch 256 = ensemble-forecast serving configuration; measured batch
+    # sweep (BASELINE.md): 16 -> 86.7 Mgp/s (latency-bound), 64 -> 232,
+    # 256 -> 517 (saturation), 1024 -> 445 (HBM pressure).
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship

@@ -157,6 +157,54 @@ class PredictorDataset:
             for k, v in self.attrs.items():
                 f.attrs[k] = v
 
+    def to_netcdf(self, path: str) -> None:
+        """Write a reference-compatible netCDF predictor file (requires the
+        optional netCDF4 dependency; the reference's native format,
+        preprocessing.py:596-608)."""
+        try:
+            import netCDF4
+        except ImportError:
+            raise RuntimeError(
+                "netCDF4 is not installed; use to_file() (HDF5) instead"
+            ) from None
+        with netCDF4.Dataset(path, "w") as nc:
+            dims = self.dims
+            for name, size in dims.items():
+                nc.createDimension(name, size)
+            v = nc.createVariable("predictors", "f4", tuple(dims))
+            v[:] = np.asarray(self.predictors)
+            tvar = nc.createVariable("sample", "i8", ("sample",))
+            tvar[:] = self.sample.astype("datetime64[ns]").astype(np.int64)
+            tvar.units = "nanoseconds since 1970-01-01"
+            nc.createVariable("lat", "f8", ("lat",))[:] = self.lat
+            nc.createVariable("lon", "f8", ("lon",))[:] = self.lon
+            if self.mean is not None:
+                nc.createVariable("mean", "f8", ("varlev",))[:] = self.mean
+                nc.createVariable("std", "f8", ("varlev",))[:] = self.std
+            nc.setncattr("varlev", ",".join(self.varlev))
+
+    def to_zarr(self, path: str) -> None:
+        """Write a zarr store (requires the optional zarr dependency; the
+        reference's alternative export, preprocessing.py:423-438)."""
+        try:
+            import zarr
+        except ImportError:
+            raise RuntimeError(
+                "zarr is not installed; use to_file() (HDF5) instead"
+            ) from None
+        root = zarr.open(path, mode="w")
+        root.create_dataset("predictors", data=np.asarray(self.predictors))
+        root.create_dataset(
+            "sample",
+            data=self.sample.astype("datetime64[ns]").astype(np.int64),
+        )
+        root.create_dataset("lat", data=np.asarray(self.lat))
+        root.create_dataset("lon", data=np.asarray(self.lon))
+        if self.mean is not None:
+            root.create_dataset("mean", data=np.asarray(self.mean))
+            root.create_dataset("std", data=np.asarray(self.std))
+        root.attrs["varlev"] = list(self.varlev)
+
     @classmethod
     def from_file(cls, path: str, load: str = "full") -> "PredictorDataset":
         """Read a predictor file. ``load='full'`` materializes; ``'lazy'``

@@ -241,3 +241,27 @@ class TestNativeAssembler:
         x_np, y_np = s2[0]
         np.testing.assert_allclose(x_native, x_np.astype(np.float32), atol=1e-6)
         np.testing.assert_allclose(y_native, y_np.astype(np.float32), atol=1e-6)
+
+
+class TestGatedExports:
+    def test_netcdf_zarr_gated(self):
+        """Without the optional libs, exports raise informative errors."""
+        ds = make_series()
+        try:
+            import netCDF4  # noqa: F401
+
+            has_nc = True
+        except ImportError:
+            has_nc = False
+        if not has_nc:
+            with pytest.raises(RuntimeError, match="netCDF4"):
+                ds.to_netcdf("/tmp/x.nc")
+        try:
+            import zarr  # noqa: F401
+
+            has_zarr = True
+        except ImportError:
+            has_zarr = False
+        if not has_zarr:
+            with pytest.raises(RuntimeError, match="zarr"):
+                ds.to_zarr("/tmp/x.zarr")

@@ -246,3 +246,40 @@ class TestDLWPNeuralNet:
         dlwp.fit(x, y, epochs=1, batch_size=8, verbose=False)
         pred = dlwp.predict(x[:2])
         assert np.isfinite(pred).all()
+
+
+class TestDLWPFunctional:
+    def test_sequence_training_and_predict(self):
+        from dlwp_tpu.models import DLWPFunctional
+
+        dlwp = DLWPFunctional(time_dim=1)
+        assert dlwp.scaler_type is None  # reference models.py:321-322
+        dlwp.build_model(
+            [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (1, 3), {})],
+            sequence_steps=2, learning_rate=3e-3,
+        )
+        x = np.asarray(rand(8, 1, 6, 12))
+        y = np.stack([np.roll(x, 1, -1), np.roll(x, 2, -1)], axis=1)
+        hist = dlwp.fit(x, y, epochs=5, batch_size=8, verbose=False)
+        assert len(hist.epoch) == 5
+        seq = dlwp.predict_sequence(x[:2])
+        assert seq.shape == (2, 2, 1, 6, 12)  # (_n_steps, sample, ...)
+
+
+class TestLossPickling:
+    def test_factories_pickle(self):
+        import pickle
+        from dlwp_tpu.ops.losses import (
+            anomaly_correlation_loss, latitude_weighted_loss, mse,
+        )
+
+        lats = np.linspace(90, -90, 5)
+        l1 = latitude_weighted_loss(mse, lats)
+        l2 = anomaly_correlation_loss(mean=np.zeros((1, 2, 5, 8)))
+        r1 = pickle.loads(pickle.dumps(l1))
+        r2 = pickle.loads(pickle.dumps(l2))
+        yt = rand(2, 2, 5, 8)
+        yp = rand(2, 2, 5, 8, key=1)
+        assert abs(float(l1(yt, yp)) - float(r1(yt, yp))) < 1e-12
+        assert abs(float(l2(yt, yp)) - float(r2(yt, yp))) < 1e-12
