@@ -77,6 +77,7 @@ class CyclicConv2D(nn.Module):
     lat_mode: str = "zero"
     use_bias: bool = True
     dtype: Any = None
+    impl: str = "edgefix"  # 'edgefix' (no padded copy) | 'pad'
 
     @nn.compact
     def __call__(self, x):
@@ -88,10 +89,19 @@ class CyclicConv2D(nn.Module):
             (self.features, c_in, kh, kw),
             self.dtype or x.dtype,
         )
-        y = cyclic_conv2d(
-            x, kernel, strides=self.strides, lat_mode=self.lat_mode,
-            dilation=_pair(self.dilation),
-        )
+        if (
+            self.impl == "edgefix"
+            and self.strides == (1, 1)
+            and self.lat_mode == "zero"
+        ):
+            from dlwp_tpu.ops.conv import cyclic_conv2d_edgefix
+
+            y = cyclic_conv2d_edgefix(x, kernel, dilation=_pair(self.dilation))
+        else:
+            y = cyclic_conv2d(
+                x, kernel, strides=self.strides, lat_mode=self.lat_mode,
+                dilation=_pair(self.dilation),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),

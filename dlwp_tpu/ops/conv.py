@@ -19,6 +19,8 @@ convention); weights are OIHW. XLA re-layouts for TPU internally.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -67,6 +69,53 @@ def cyclic_conv2d(
         precision=precision,
     )
     return out.reshape(batch_shape + out.shape[1:])
+
+
+def cyclic_conv2d_edgefix(
+    x: jax.Array,
+    kernel: jax.Array,
+    dilation: tuple[int, int] = (1, 1),
+    precision=None,
+) -> jax.Array:
+    """cyclic_conv2d (zero-lat boundary, stride 1) without materializing the
+    wrap-padded input.
+
+    The wrap pad in :func:`cyclic_conv2d` concatenates edge columns, which
+    materializes a full padded copy of the activation in HBM per layer. This
+    variant runs the main conv with explicit zero padding (no copy: XLA
+    folds zero padding into the conv window config), then *recomputes* only
+    the ``ew/2`` wrap-affected edge columns from slim wrapped slices and
+    patches them in with dynamic_update_slice (in-place on TPU).
+
+    Numerically identical to ``cyclic_conv2d(x, k, lat_mode='zero')``.
+    """
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    eh = (kh - 1) * dilation[0]
+    ew = (kw - 1) * dilation[1]
+    pt, pb = eh // 2, eh - eh // 2
+    pl, pr = ew // 2, ew - ew // 2
+
+    batch_shape = x.shape[:-3]
+    x4 = x.reshape((-1,) + x.shape[-3:])
+    W = x4.shape[-1]
+    conv = partial(
+        lax.conv_general_dilated,
+        window_strides=(1, 1),
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
+    )
+    y = conv(x4, kernel, padding=((pt, pb), (pl, pr)))
+    if ew:
+        if pl:
+            xl = jnp.concatenate([x4[..., W - pl :], x4[..., : pl + pr]], -1)
+            yl = conv(xl, kernel, padding=((pt, pb), (0, 0)))
+            y = lax.dynamic_update_slice_in_dim(y, yl, 0, axis=-1)
+        if pr:
+            xr = jnp.concatenate([x4[..., W - pr - pl :], x4[..., :pr]], -1)
+            yr = conv(xr, kernel, padding=((pt, pb), (0, 0)))
+            y = lax.dynamic_update_slice_in_dim(y, yr, W - pr, axis=-1)
+    return y.reshape(batch_shape + y.shape[1:])
 
 
 def row_conv2d(

@@ -348,6 +348,21 @@ class Trainer:
                 k: float(np.mean([np.asarray(v) for v in vs]))
                 for k, vs in train_metrics.items()
             }
+            if not np.isfinite(metrics.get("loss", 0.0)):
+                # Numerical overflow guard (the reference only checks NaN in
+                # data, run_barotropic.py:52-53; here training aborts and
+                # surfaces the failure instead of burning epochs).
+                print(
+                    f"non-finite loss at epoch {epoch + 1}; stopping"
+                )
+                if (
+                    stopper is not None
+                    and stopper.restore_best_weights
+                    and stopper.best_params is not None
+                ):
+                    self.params = stopper.best_params
+                history.append(epoch, metrics)
+                break
             if validation_data is not None:
                 metrics.update(
                     {f"val_{k}": v for k, v in self.evaluate(
