@@ -224,3 +224,25 @@ class TestLosses:
         accl = anomaly_correlation_loss()
         g2 = jax.grad(lambda p: accl(yt, p))(yp)
         assert np.isfinite(np.asarray(g2)).all()
+
+
+class TestEdgefixConv:
+    @pytest.mark.parametrize("kw_,dil", [(3, (1, 1)), (5, (1, 1)), (3, (2, 2)),
+                                          (1, (1, 1))])
+    def test_matches_cyclic_conv(self, kw_, dil):
+        from dlwp_tpu.ops.conv import cyclic_conv2d_edgefix
+
+        x = rand(2, 3, 9, 16)
+        k = rand(4, 3, kw_, kw_, key=1) * 0.1
+        a = cyclic_conv2d(x, k, dilation=dil)
+        b = cyclic_conv2d_edgefix(x, k, dilation=dil)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_gradients_match(self):
+        from dlwp_tpu.ops.conv import cyclic_conv2d_edgefix
+
+        x = rand(1, 2, 8, 16)
+        k = rand(3, 2, 3, 3, key=2) * 0.1
+        g1 = jax.grad(lambda kk: jnp.sum(cyclic_conv2d(x, kk) ** 2))(k)
+        g2 = jax.grad(lambda kk: jnp.sum(cyclic_conv2d_edgefix(x, kk) ** 2))(k)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
