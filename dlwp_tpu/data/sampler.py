@@ -184,8 +184,19 @@ class SeriesSampler:
                 arr, samples, np.arange(offsets.start, offsets.stop),
                 np.asarray(chan_idx),
             )
+        def take(idx):
+            if isinstance(arr, np.ndarray):
+                return arr[idx]
+            # h5py fancy indexing needs sorted unique indices: gather in
+            # sorted order, then undo the permutation (and re-read
+            # duplicates via the inverse map).
+            order = np.argsort(idx, kind="stable")
+            uniq, inverse = np.unique(idx[order], return_inverse=True)
+            data = arr[uniq]
+            return data[inverse][np.argsort(order, kind="stable")]
+
         taken = [
-            np.asarray(arr[samples + n])[:, chan_idx] for n in offsets
+            np.asarray(take(samples + n))[:, chan_idx] for n in offsets
         ]
         return np.stack(taken, axis=1)
 

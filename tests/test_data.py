@@ -265,3 +265,24 @@ class TestGatedExports:
         if not has_zarr:
             with pytest.raises(RuntimeError, match="zarr"):
                 ds.to_zarr("/tmp/x.zarr")
+
+
+class TestLazySampler:
+    def test_lazy_h5_with_shuffle(self, tmp_path):
+        """Shuffled batches from a lazily opened predictor file (h5py fancy
+        indexing needs sorted indices; the gather must handle arbitrary
+        sample order)."""
+        ds = make_series(n=40)
+        path = str(tmp_path / "p.h5")
+        ds.to_file(path)
+        lazy = PredictorDataset.from_file(path, load="lazy")
+        s_lazy = SeriesSampler(lazy, input_time_steps=2, batch_size=8,
+                               shuffle=True, seed=5)
+        s_mem = SeriesSampler(ds, input_time_steps=2, batch_size=8,
+                              shuffle=True, seed=5)
+        for i in range(len(s_lazy)):
+            xl, yl = s_lazy[i]
+            xm, ym = s_mem[i]
+            np.testing.assert_allclose(xl, xm, atol=1e-6)
+            np.testing.assert_allclose(yl, ym, atol=1e-6)
+        lazy.close()
