@@ -77,7 +77,7 @@ class CyclicConv2D(nn.Module):
     lat_mode: str = "zero"
     use_bias: bool = True
     dtype: Any = None
-    impl: str = "edgefix"  # 'edgefix' (no padded copy) | 'pad'
+    impl: str = "pad"  # 'pad' (default) | 'edgefix' (see ops.conv notes)
 
     @nn.compact
     def __call__(self, x):

@@ -88,6 +88,12 @@ def cyclic_conv2d_edgefix(
     patches them in with dynamic_update_slice (in-place on TPU).
 
     Numerically identical to ``cyclic_conv2d(x, k, lat_mode='zero')``.
+
+    Measured on TPU v5e (flagship rollout, batch 256): 370 Mgp/s vs 517 for
+    the pad formulation -- XLA already streams the wrap-pad into the conv
+    efficiently, and the two extra slim convs per layer cost more than the
+    avoided copy. Kept as an option for very wide grids where the padded
+    copy dominates; the default layer impl is 'pad'.
     """
     kh, kw = kernel.shape[-2], kernel.shape[-1]
     eh = (kh - 1) * dilation[0]
