@@ -1,0 +1,66 @@
+"""End-to-end example-workflow smoke tests (subprocess, tiny configs).
+
+These guard the user-facing workflows (SURVEY.md section 2.7 script layer)
+against API drift. They run the actual example scripts, so they are slower
+than unit tests; each uses minimal epochs/steps.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+
+def run_example(script, *args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=EXAMPLES,
+    )
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+class TestExampleWorkflows:
+    def test_train(self, tmp_path):
+        out = run_example(
+            "train.py", "--epochs", "1", "--batch-size", "64",
+            "--model-file", str(tmp_path / "m"),
+        )
+        assert "saved model" in out
+        assert os.path.exists(tmp_path / "m.pkl")
+
+    def test_run_barotropic(self, tmp_path):
+        out = run_example(
+            "run_barotropic.py", "--n-init", "1", "--hours", "12",
+            "--output-file", str(tmp_path / "b.h5"),
+        )
+        assert "saved" in out
+        assert os.path.exists(tmp_path / "b.h5")
+
+    def test_write_predictors_and_thickness(self, tmp_path):
+        p = str(tmp_path / "p.h5")
+        run_example("write_predictors.py", "--output-file", p)
+        out = run_example(
+            "add_thickness.py", p, "--upper", "HGT/500",
+            "--lower", "THICK/300-700",
+            "--output-file", str(tmp_path / "p2.h5"),
+        )
+        assert "added" in out
+
+    def test_acquisition_dry_runs(self):
+        out = run_example("write_cfs.py", "--dry-run")
+        assert "nomads.ncdc.noaa.gov" in out
+        out = run_example("retrieve_era5.py", "--dry-run")
+        assert "reanalysis" in out
