@@ -283,3 +283,23 @@ class TestLossPickling:
         yp = rand(2, 2, 5, 8, key=1)
         assert abs(float(l1(yt, yp)) - float(r1(yt, yp))) < 1e-12
         assert abs(float(l2(yt, yp)) - float(r2(yt, yp))) < 1e-12
+
+
+class TestRecurrentTimeseries:
+    def test_recurrent_step_sequence(self):
+        """predict_timeseries step_sequence for is_recurrent models
+        (models.py:282-283: slide the time axis directly)."""
+        dlwp = DLWPNeuralNet(is_recurrent=True, time_dim=3, scaler_type=None)
+        # Recurrent model: (B, T, C, H, W) -> (B, T, C, H, W) via ConvLSTM.
+        dlwp.build_model(
+            [("ConvLSTM2D", (4, 3), {"return_sequences": True}),
+             # project features back to C=2 per step with a 3-D-safe conv
+             ("CyclicConv2D", (2, 1), {})],
+        )
+        x = np.asarray(rand(2, 3, 2, 6, 12))
+        dlwp.fit(x, x, epochs=1, batch_size=2, verbose=False)
+        ts = dlwp.predict_timeseries(x, 4, step_sequence=True)
+        assert ts.shape == (4, 2, 2, 6, 12)
+        ts_k = dlwp.predict_timeseries(x, 4, step_sequence=True,
+                                       keep_time_dim=True)
+        assert ts_k.shape == (4, 2, 3, 2, 6, 12)
