@@ -3,11 +3,13 @@
 from dlwp_tpu.data.dataset import PredictorDataset
 from dlwp_tpu.data.preprocessing import Preprocessor
 from dlwp_tpu.data.sampler import SeriesSampler, SamplesSampler, device_prefetch
+from dlwp_tpu.data.device_sampler import DeviceSeriesSampler
 
 __all__ = [
     "PredictorDataset",
     "Preprocessor",
     "SeriesSampler",
     "SamplesSampler",
+    "DeviceSeriesSampler",
     "device_prefetch",
 ]

@@ -1,0 +1,111 @@
+"""Device-resident series sampling.
+
+The fully TPU-native data path (SURVEY.md section 3.1's conclusion: "in the
+TPU build both [host gather and device compute] collapse into a jit'd scan
+over device-resident sharded arrays"): the whole predictor series (and the
+precomputed insolation) is pushed to HBM once, and every batch is assembled
+*on device* by a jitted gather -- no per-batch host work or host->device
+transfer at all. For the 2.5-degree archive this is ~1.2 GB for 30 years of
+6-hourly 2-channel state; comfortably HBM-resident.
+
+Wraps a configured :class:`~dlwp_tpu.data.sampler.SeriesSampler` (reusing
+its index arithmetic and shape properties) and exposes the same batch
+protocol, so it drops into ``Trainer.fit(generator=...)`` unchanged.
+Batches are fixed-size (the ragged final batch is dropped) to keep a single
+compiled gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dlwp_tpu.data.sampler import SeriesSampler
+
+
+class DeviceSeriesSampler:
+    """On-device batch assembly over an HBM-resident series."""
+
+    def __init__(self, sampler: SeriesSampler, sharding=None):
+        if sampler._impute and sampler.model is not None:
+            raise NotImplementedError(
+                "device-resident sampling assumes pre-imputed/scaled data"
+            )
+        self.sampler = sampler
+        series = np.ascontiguousarray(
+            np.asarray(sampler._series), dtype=np.float32
+        )
+        if sampler._remove_nan and np.isnan(series).any():
+            raise ValueError(
+                "device-resident sampling requires a NaN-free series "
+                "(clean or impute on host first)"
+            )
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
+        self._series = put(series)
+        self._sol = (
+            put(np.asarray(sampler._insolation, dtype=np.float32))
+            if sampler._insolation is not None
+            else None
+        )
+        s = sampler
+        self._in_offsets = jnp.arange(s._in_ts)
+        seq = s._sequence if s._sequence is not None else 1
+        t_start = s._in_ts + s._interval - 1
+        self._out_offsets = jnp.asarray(
+            [
+                [t_start + s._out_ts * k + n for n in range(s._out_ts)]
+                for k in range(seq)
+            ]
+        )  # (seq, out_ts)
+        self._input_idx = jnp.asarray(s._input_idx)
+        self._output_idx = jnp.asarray(s._output_idx)
+        self._batch = s._batch_size
+        self._gather = jax.jit(self._gather_impl)
+
+    # ------------------------------------------------------------- assembly
+    def _gather_impl(self, samples: jax.Array):
+        """samples (B,) -> (x, y) exactly as SeriesSampler.generate."""
+        s = self.sampler
+        B = samples.shape[0]
+        in_t = samples[:, None] + self._in_offsets[None, :]  # (B, T)
+        p = self._series[in_t][:, :, self._input_idx]  # (B, T, C, H, W)
+        if self._sol is not None:
+            sol = self._sol[in_t][:, :, None]  # (B, T, 1, H, W)
+            p = jnp.concatenate([p, sol], axis=2)
+        out_t = samples[:, None, None] + self._out_offsets[None]  # (B, S, O)
+        t = self._series[out_t][:, :, :, self._output_idx]  # (B, S, O, C, H, W)
+
+        p = p.reshape((B,) + s.convolution_shape)
+        S = t.shape[1]
+        t = t.reshape((B, S) + s.output_convolution_shape)
+        if s._sequence is None:
+            t = t[:, 0]
+        return p, t
+
+    # --------------------------------------------------------------- batches
+    def __len__(self) -> int:
+        return self.sampler._n_sample // self._batch  # drop ragged tail
+
+    def __getitem__(self, index: int):
+        if index < 0:
+            index = len(self) + index
+        if index >= len(self):
+            raise IndexError
+        sel = self.sampler._indices[
+            index * self._batch : (index + 1) * self._batch
+        ]
+        return self._gather(jnp.asarray(sel))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+        self.sampler.on_epoch_end()
+
+    @property
+    def convolution_shape(self):
+        return self.sampler.convolution_shape
+
+    @property
+    def output_convolution_shape(self):
+        return self.sampler.output_convolution_shape

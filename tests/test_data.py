@@ -286,3 +286,60 @@ class TestLazySampler:
             np.testing.assert_allclose(xl, xm, atol=1e-6)
             np.testing.assert_allclose(yl, ym, atol=1e-6)
         lazy.close()
+
+
+class TestDeviceSeriesSampler:
+    def test_matches_host_sampler(self):
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        ds = make_series(n=40)
+        for kw in [
+            dict(input_time_steps=2, output_time_steps=2, batch_size=8),
+            dict(input_time_steps=2, output_time_steps=1, sequence=3,
+                 interval=2, batch_size=8),
+            dict(input_time_steps=1, add_insolation=True, batch_size=8),
+            dict(input_sel=["HGT/500", "THICK/300-700"],
+                 output_sel=["HGT/500"], batch_size=8),
+        ]:
+            host = SeriesSampler(ds, **kw)
+            dev = DeviceSeriesSampler(SeriesSampler(ds, **kw))
+            assert len(dev) <= len(host)
+            for i in range(len(dev)):
+                xh, yh = host[i]
+                xd, yd = dev[i]
+                np.testing.assert_allclose(np.asarray(xd), xh, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(yd), yh, atol=1e-6)
+
+    def test_shuffle_epochs(self):
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        ds = make_series(n=40)
+        s = SeriesSampler(ds, batch_size=8, shuffle=True, seed=1)
+        dev = DeviceSeriesSampler(s)
+        first = [np.asarray(b[0]) for b in dev]
+        second = [np.asarray(b[0]) for b in dev]  # epoch reshuffled
+        assert any(
+            not np.allclose(a, b) for a, b in zip(first, second)
+        )
+
+    def test_rejects_nan_series(self):
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        ds = make_series(n=30)
+        arr = np.array(ds.predictors)
+        arr[3, 0, 0, 0] = np.nan
+        ds.predictors = arr
+        with pytest.raises(ValueError, match="NaN"):
+            DeviceSeriesSampler(SeriesSampler(ds, batch_size=4))
+
+    def test_trains_with_trainer(self):
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        ds = make_series(n=40)
+        dev = DeviceSeriesSampler(SeriesSampler(ds, batch_size=8))
+        model = build_sequential([("CyclicConv2D", (2, 3), {})])
+        tr = Trainer(model, TrainConfig(epochs=2, batch_size=8))
+        hist = tr.fit(generator=dev, verbose=False)
+        assert len(hist.epoch) == 2
