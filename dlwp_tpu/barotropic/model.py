@@ -29,9 +29,7 @@ ensemble members / init times, as in ``examples/run_barotropic.py:37``).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any
 
 import numpy as np
 import jax

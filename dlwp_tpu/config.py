@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Sequence
+from typing import Any
 
 from dlwp_tpu.parallel.mesh import MeshConfig
 from dlwp_tpu.train.trainer import TrainConfig

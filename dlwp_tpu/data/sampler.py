@@ -36,7 +36,6 @@ import jax
 
 from dlwp_tpu.data.dataset import PredictorDataset
 from dlwp_tpu.grid.insolation import day_of_year, insolation
-from dlwp_tpu.utils.split import delete_nan_samples
 
 
 class SeriesSampler:

@@ -35,7 +35,6 @@ from dlwp_tpu.models.layers import (
     get_activation,
     _pair,
 )
-from dlwp_tpu.ops.padding import pad_constant, pad_fill, pad_periodic
 
 
 class _Pad(nn.Module):

@@ -20,8 +20,6 @@ the sharded barotropic step to fuse a whole model step into one region).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

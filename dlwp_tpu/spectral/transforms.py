@@ -28,13 +28,11 @@ keep XLA tiling the contractions onto the 128x128 systolic array.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dlwp_tpu.grid.latlon import EARTH_RADIUS, LatLonGrid
+from dlwp_tpu.grid.latlon import LatLonGrid
 from dlwp_tpu.spectral.legendre import legendre_tables
 
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Callable, Iterable
 
 import numpy as np
