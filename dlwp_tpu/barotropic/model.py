@@ -302,8 +302,11 @@ class BarotropicModelPsi(_BarotropicBase):
 
     def _tendency(self, vrt_spec: jax.Array) -> jax.Array:
         psi_spec = vrt_spec * self.inv_z_vrt_factor
-        dpdx, dpdy = self.sh.gradients(psi_spec)
-        dvdx, dvdy = self.sh.gradients(vrt_spec)
+        # One stacked gradients call for (psi, vrt): halves the transform
+        # count per step (gradients batches over leading dims).
+        dx, dy = self.sh.gradients(jnp.stack([psi_spec, vrt_spec]))
+        dpdx, dvdx = dx[0], dx[1]
+        dpdy, dvdy = dy[0], dy[1]
         jac = dpdx * dvdy - dpdy * dvdx
         dzdt = -self.sh.analyze(jac)
         if self.correct_sh:

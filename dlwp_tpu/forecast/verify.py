@@ -108,6 +108,32 @@ def monthly_climo_error(
     return (out, anomaly) if return_anomaly else out
 
 
+def anomaly_correlation(forecast, valid, climatology=None, axis=None):
+    """Anomaly correlation coefficient per forecast step.
+
+    ACC about ``climatology`` (defaults to the time mean of ``valid``):
+    the verification-side companion of the training-time ACC loss
+    (custom.py:994-1033), with forecast step as the first axis of both
+    arrays.
+    """
+    forecast = np.asarray(forecast)
+    valid = np.asarray(valid)
+    climo = (
+        np.nanmean(valid, axis=(0, 1), keepdims=True)
+        if climatology is None
+        else np.asarray(climatology)
+    )
+    fa = forecast - climo
+    va = valid - climo
+    if axis is None:
+        axis = tuple(range(1, valid.ndim))
+    num = np.nanmean(fa * va, axis=axis)
+    den = np.sqrt(
+        np.nanmean(fa**2, axis=axis) * np.nanmean(va**2, axis=axis)
+    )
+    return num / den
+
+
 def predictors_to_time_series(
     predictors, time_steps: int, has_time_dim=True, use_first_step=False
 ):

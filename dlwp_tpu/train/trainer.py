@@ -343,6 +343,10 @@ class Trainer:
                 )
                 for k, v in m.items():
                     train_metrics.setdefault(k, []).append(v)
+                for cb in callbacks or []:
+                    # Per-batch hook (reference BatchHistory, custom.py:54).
+                    if hasattr(cb, "on_batch"):
+                        cb.on_batch(float(m["loss"]))
             metrics = {
                 k: float(np.mean([np.asarray(v) for v in vs]))
                 for k, vs in train_metrics.items()

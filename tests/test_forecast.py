@@ -141,3 +141,19 @@ class TestTimeSeriesEstimator:
         fc_phys = est.predict(2, samples=[0], unscale=True)
         expect = fc_scaled.values * ds.std[:, None, None] + ds.mean[:, None, None]
         np.testing.assert_allclose(fc_phys.values, expect, rtol=1e-5)
+
+
+class TestVerifyACC:
+    def test_perfect_forecast_acc_one(self):
+        rng = np.random.RandomState(0)
+        valid = rng.randn(4, 6, 5, 5)
+        acc = verify.anomaly_correlation(valid, valid)
+        np.testing.assert_allclose(acc, np.ones(4), atol=1e-12)
+
+    def test_climatology_forecast_acc_zero_denominator_safe(self):
+        valid = np.random.RandomState(1).randn(3, 8, 4, 4)
+        # Anti-correlated forecast -> ACC near -1.
+        climo = valid.mean(axis=(0, 1), keepdims=True)
+        anti = 2 * climo - valid
+        acc = verify.anomaly_correlation(anti, valid)
+        np.testing.assert_allclose(acc, -np.ones(3), atol=1e-10)
