@@ -105,9 +105,7 @@ def _pallas_halo_local(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=7
-        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(x)
 

@@ -233,3 +233,41 @@ class TestShardedBarotropic:
             atol=1e-12 * scale,
         )
         assert int(got.step) == 20
+
+
+class TestOverlappedStencil:
+    def test_interpret_matches_oracle(self):
+        """Compute/comm-overlap kernel (remote DMA + in-kernel MXU stencil)
+        vs the single-device oracle."""
+        require_devices(8)
+        from jax.sharding import Mesh
+        from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("lat",))
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 16, 24),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 3, 3),
+                              dtype=jnp.float32) * 0.1
+        expect = cyclic_conv2d(x, k)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        out = overlapped_cyclic_conv2d(xs, k, mesh, data_axis=None,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
+
+    def test_two_shard_minimum_rows(self):
+        require_devices(2)
+        from jax.sharding import Mesh
+        from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("lat",))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 4, 16),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(3), (3, 2, 3, 3),
+                              dtype=jnp.float32) * 0.1
+        expect = cyclic_conv2d(x, k)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        out = overlapped_cyclic_conv2d(xs, k, mesh, data_axis=None,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
