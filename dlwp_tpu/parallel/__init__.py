@@ -16,6 +16,8 @@ it with the TPU-native stack:
 
 from dlwp_tpu.parallel.mesh import MeshConfig, build_mesh, batch_sharding
 from dlwp_tpu.parallel.halo import halo_exchange_lat, sharded_cyclic_conv2d
+from dlwp_tpu.parallel.pallas_halo import pallas_sharded_cyclic_conv2d
+from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
 
 __all__ = [
     "MeshConfig",
@@ -23,4 +25,6 @@ __all__ = [
     "batch_sharding",
     "halo_exchange_lat",
     "sharded_cyclic_conv2d",
+    "pallas_sharded_cyclic_conv2d",
+    "overlapped_cyclic_conv2d",
 ]

@@ -180,3 +180,20 @@ class TestIntegration:
         np.testing.assert_allclose(
             np.asarray(out.vrt_spec[2]), np.asarray(solo.vrt_spec), atol=1e-14
         )
+
+
+class TestDeterminism:
+    def test_bitwise_reproducible_rollout(self):
+        """Two runs of the same jitted integration must be bitwise equal
+        (the BASELINE.md 'bit-faithful rollout' target: XLA compilations are
+        deterministic given identical inputs on one device)."""
+        grid = LatLonGrid.gaussian(24, 48)
+        model = BarotropicModel(grid, 15, dt=1800.0, dtype=jnp.float64)
+        s = model.from_z(
+            jnp.asarray(5500.0 + 50.0 * np.random.RandomState(7).randn(24, 48))
+        )
+        a = model.run(s, 56)  # 14 days at dt = 6 h equivalent steps
+        b = model.run(s, 56)
+        assert np.array_equal(
+            np.asarray(a.vrt_spec), np.asarray(b.vrt_spec)
+        )
