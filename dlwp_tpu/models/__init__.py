@@ -13,6 +13,7 @@ from dlwp_tpu.models.layers import (
 )
 from dlwp_tpu.models.cnn import SequentialModel, build_sequential, LAYER_REGISTRY
 from dlwp_tpu.models.api import DLWPNeuralNet, DLWPFunctional
+from dlwp_tpu.models.unet import SkipTower, SliceChannels
 
 __all__ = [
     "CyclicConv2D",
@@ -29,4 +30,6 @@ __all__ = [
     "LAYER_REGISTRY",
     "DLWPNeuralNet",
     "DLWPFunctional",
+    "SkipTower",
+    "SliceChannels",
 ]

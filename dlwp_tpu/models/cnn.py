@@ -209,11 +209,27 @@ def _pad_layer(cls):
     return build
 
 
+def _slice_layer(*args, **kw):
+    # reference slice_layer(start, stop, axis) factory (custom.py:675-692)
+    from dlwp_tpu.models.unet import SliceChannels
+
+    if args:
+        start, stop = args[0], args[1]
+        axis = args[2] if len(args) > 2 else kw.get("axis", -3)
+    else:
+        start, stop, axis = kw["start"], kw["stop"], kw.get("axis", -3)
+    # Keras axis=1 == channels-first channel axis == our -3.
+    if axis == 1:
+        axis = -3
+    return SliceChannels(start=start, stop=stop, axis=axis)
+
+
 LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     # TPU-native fused layers
     "CyclicConv2D": _keras_conv(CyclicConv2D),
     "RowConv2D": _keras_conv(RowConv2D),
     "RowConnected2D": _keras_conv(RowConv2D),  # reference name, custom.py:695
+    "slice_layer": _slice_layer,  # reference name, custom.py:675
     "ConvLSTM2D": _convlstm,
     # Reference-style aliases (keras.layers + DLWP.custom vocabulary)
     "Conv2D": _keras_conv(Conv2D),

@@ -303,3 +303,38 @@ class TestRecurrentTimeseries:
         ts_k = dlwp.predict_timeseries(x, 4, step_sequence=True,
                                        keep_time_dim=True)
         assert ts_k.shape == (4, 2, 3, 2, 6, 12)
+
+
+class TestSkipTower:
+    def test_shapes_and_training(self):
+        from dlwp_tpu.models import SkipTower
+
+        model = SkipTower(c_out=2, width=16)
+        x = rand(4, 2, 8, 16)
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        assert y.shape == (4, 2, 8, 16)
+        # It trains.
+        tr = Trainer(model, TrainConfig(epochs=10, learning_rate=3e-3,
+                                        batch_size=4))
+        xs = np.asarray(rand(8, 2, 8, 16))
+        hist = tr.fit(x=xs, y=np.roll(xs, 1, -1), verbose=False)
+        assert hist.history["loss"][-1] < hist.history["loss"][0]
+
+    def test_recurrent_front_end(self):
+        from dlwp_tpu.models import SkipTower
+
+        model = SkipTower(c_out=2, width=16, time_steps=2, lstm_features=4)
+        x = rand(2, 2, 3, 8, 16)  # (B, T, C, H, W)
+        params = model.init(jax.random.PRNGKey(0), x)
+        assert model.apply(params, x).shape == (2, 2, 8, 16)
+
+    def test_slice_layer_registry(self):
+        specs = [
+            ("slice_layer", (0, 2, 1), None),
+            ("CyclicConv2D", (3, 3), {}),
+        ]
+        m = build_sequential(specs)
+        x = rand(2, 5, 6, 12)
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == (2, 3, 6, 12)
