@@ -64,3 +64,20 @@ class TestExampleWorkflows:
         assert "nomads.ncdc.noaa.gov" in out
         out = run_example("retrieve_era5.py", "--dry-run")
         assert "reanalysis" in out
+
+    def test_validate(self, tmp_path):
+        out = run_example(
+            "validate.py", "--forecast-steps", "4",
+            "--plot-file", str(tmp_path / "v.png"),
+            "--output-file", str(tmp_path / "v.pkl"),
+            timeout=600,
+        )
+        assert "RMSE vs forecast hour" in out
+        assert os.path.exists(tmp_path / "v.pkl")
+
+    def test_train_distributed_virtual(self):
+        out = run_example(
+            "train_distributed.py", "--virtual", "4", "--data-shards", "2",
+            "--lat-shards", "2", "--epochs", "1", timeout=600,
+        )
+        assert "mesh" in out
