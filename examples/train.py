@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    choices=["mse", "mae", "lat_mse", "acc"])
     p.add_argument("--crop-north-pole", action="store_true", default=True,
                    help="drop the 90N row (reference train.py:86-87)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="push the whole series to HBM and assemble batches "
+                        "on device (DeviceSeriesSampler)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -99,6 +102,11 @@ def main(argv=None):
     )
     train_gen = mk(train_data, True)
     val_gen = mk(val_data, False)
+    if args.device_resident:
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        train_gen = DeviceSeriesSampler(train_gen)
+        val_gen = DeviceSeriesSampler(val_gen)
 
     c_in = train_gen.convolution_shape[0]
     c_out = train_gen.output_convolution_shape[0]
