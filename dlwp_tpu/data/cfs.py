@@ -295,6 +295,19 @@ class CFSReanalysis:
         j = list(self._levels).index(level)
         return arr[:, j]
 
+    def plot(self, variable: str, level, time_index: int = 0, **kwargs):
+        """Quick-look map of one field (reference cfsr.py:612-662
+        generate_basemap/plot capability, on plain matplotlib)."""
+        from dlwp_tpu.plot import plot_global_map
+
+        field = self.field(variable, level)[time_index]
+        title = kwargs.pop(
+            "title", f"{variable}/{level} @ {self.times[time_index]}"
+        )
+        return plot_global_map(
+            self.lat, self.lon, field, title=title, **kwargs
+        )
+
     def closest_lat_lon(self, lat: float, lon: float):
         """Nearest grid index (reference cfsr.py:196-213)."""
         if lon < 0:

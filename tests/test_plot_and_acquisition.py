@@ -284,3 +284,22 @@ class TestCallbacks:
         bh.on_batch(0.5)
         bh(0, {}, None)
         assert bh.batch_losses == [[1.0, 0.5]]
+
+
+class TestCFSPlot:
+    def test_quicklook_plot(self, tmp_path):
+        import h5py
+
+        cfs = CFSReanalysis(root_directory=str(tmp_path))
+        cfs.set_dates([datetime(2000, 1, 1)])
+        with h5py.File(cfs.monthly_file(2000, 1), "w") as f:
+            f.create_dataset("time", data=np.array(
+                [np.datetime64("2000-01-01")], dtype="datetime64[ns]"
+            ).astype(np.int64))
+            f.create_dataset("level", data=np.array([500]))
+            f.create_dataset("lat", data=np.linspace(90, -90, 19))
+            f.create_dataset("lon", data=np.arange(36) * 10.0)
+            f.create_dataset("gh", data=np.random.RandomState(0).rand(1, 1, 19, 36))
+        cfs.open([(2000, 1)])
+        ax = cfs.plot("HGT", 500)
+        assert ax is not None
