@@ -27,3 +27,26 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (lazy to keep bare import cheap).
+def __getattr__(name):
+    _MAP = {
+        "DLWPNeuralNet": "dlwp_tpu.models",
+        "DLWPFunctional": "dlwp_tpu.models",
+        "SeriesSampler": "dlwp_tpu.data",
+        "PredictorDataset": "dlwp_tpu.data",
+        "Preprocessor": "dlwp_tpu.data",
+        "TimeSeriesEstimator": "dlwp_tpu.forecast",
+        "BarotropicModel": "dlwp_tpu.barotropic",
+        "BarotropicModelPsi": "dlwp_tpu.barotropic",
+        "SphericalHarmonics": "dlwp_tpu.spectral",
+        "LatLonGrid": "dlwp_tpu.grid",
+        "ExperimentConfig": "dlwp_tpu.config",
+        "save_model": "dlwp_tpu.utils",
+        "load_model": "dlwp_tpu.utils",
+    }
+    if name in _MAP:
+        import importlib
+
+        return getattr(importlib.import_module(_MAP[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -153,9 +153,10 @@ class DLWPNeuralNet:
             predictors, targets = self.imputer_transform(predictors, targets)
         x, y = self.scaler_transform(predictors, targets)
         if validation_data is not None:
-            val = self.scaler_transform(*validation_data)
+            val = validation_data
             if self.impute:
                 val = self.imputer_transform(*val)
+            val = self.scaler_transform(*val)
         else:
             val = None
         return self.trainer.fit(x=x, y=y, validation_data=val, **kwargs)
