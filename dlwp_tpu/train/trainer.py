@@ -420,7 +420,11 @@ class Trainer:
         return {k: float(np.mean(v)) for k, v in out.items()}
 
     def predict(self, x, batch_size: int = 64) -> np.ndarray:
-        apply = jax.jit(lambda p, inp: self.model.apply(p, inp))
+        if not hasattr(self, "_jit_apply"):
+            self._jit_apply = jax.jit(
+                lambda p, inp: self.model.apply(p, inp)
+            )
+        apply = self._jit_apply
         outs = []
         for i in range(0, len(x), batch_size):
             outs.append(
