@@ -152,6 +152,13 @@ class SeriesSampler:
         return (t * c, h, w)
 
     @property
+    def dense_shape(self) -> tuple[int, ...]:
+        """Flattened item shape for dense models (generators.py:440-449)."""
+        if self._keep_time_axis:
+            return (self._in_ts, self.n_features // self._in_ts)
+        return (self.n_features,)
+
+    @property
     def sequence(self):
         return self._sequence
 
@@ -254,11 +261,21 @@ class SeriesSampler:
                 p = self.model.scaler_transform(p)
                 targets = [self.model.scaler_y.transform(t) for t in targets]
 
-        # Shape for the model (generators.py:572-577).
-        p = p.reshape((B,) + self.convolution_shape)
-        targets = [
-            t.reshape((B,) + self.output_convolution_shape) for t in targets
-        ]
+        # Shape for the model (generators.py:572-577): convolutional models
+        # get (C, H, W) items, dense models get flattened features
+        # (the reference's dense_shape, generators.py:440-449).
+        if self._is_convolutional:
+            p = p.reshape((B,) + self.convolution_shape)
+            targets = [
+                t.reshape((B,) + self.output_convolution_shape)
+                for t in targets
+            ]
+        elif self._keep_time_axis:
+            p = p.reshape(B, self._in_ts, -1)
+            targets = [t.reshape(B, self._out_ts, -1) for t in targets]
+        else:
+            p = p.reshape(B, -1)
+            targets = [t.reshape(B, -1) for t in targets]
         if self._sequence is not None:
             y = np.stack(targets, axis=1)  # (B, S, ...)
         else:

@@ -343,3 +343,18 @@ class TestDeviceSeriesSampler:
         tr = Trainer(model, TrainConfig(epochs=2, batch_size=8))
         hist = tr.fit(generator=dev, verbose=False)
         assert len(hist.epoch) == 2
+
+
+class TestDenseSampler:
+    def test_dense_flattening(self):
+        ds = make_series()
+        s = SeriesSampler(ds, input_time_steps=2, batch_size=4,
+                          is_convolutional=False, is_recurrent=False)
+        x, y = s[0]
+        assert x.shape == (4, 2 * 2 * 9 * 18)
+        assert y.shape == (4, 2 * 9 * 18)
+        assert s.dense_shape == (2 * 2 * 9 * 18,)
+        s2 = SeriesSampler(ds, input_time_steps=2, batch_size=4,
+                           is_convolutional=False, is_recurrent=True)
+        x2, y2 = s2[0]
+        assert x2.shape == (4, 2, 2 * 9 * 18)
