@@ -283,11 +283,14 @@ class BarotropicModelPsi(_BarotropicBase):
         super().__init__(*args, **kwargs)
         self.f0 = float(f0)
         self.correct_sh = bool(correct_sh)
-        # Static hemisphere sign map (reference model.py:298-301).
-        sign = np.where(self.grid.lat < 0, -1.0, 1.0)[:, None]
-        self._sh_sign = jnp.asarray(
-            np.broadcast_to(sign, self.grid.shape), dtype=self.sh.dtype
-        )
+        if self.correct_sh:
+            # The reference flips the tendency sign in the southern
+            # hemisphere via a grid round trip (model.py:298-301). The
+            # multiplier is latitude-only, so the round trip collapses to a
+            # precomputed spectral operator: one contraction, no FFTs,
+            # bit-identical result.
+            sign = np.where(self.grid.lat < 0, -1.0, 1.0)
+            self._sign_op = self.sh.mu_multiplier_operator(sign)
 
     def from_z(self, z: jax.Array) -> BarotropicState:
         z = jnp.asarray(z, dtype=self.sh.dtype)
@@ -310,8 +313,7 @@ class BarotropicModelPsi(_BarotropicBase):
         jac = dpdx * dvdy - dpdy * dvdx
         dzdt = -self.sh.analyze(jac)
         if self.correct_sh:
-            g = self.sh.synthesize(dzdt) * self._sh_sign
-            dzdt = self.sh.analyze(g)
+            dzdt = self.sh.apply_mu_multiplier(self._sign_op, dzdt)
         return dzdt
 
     def psi_grid(self, state: BarotropicState) -> jax.Array:

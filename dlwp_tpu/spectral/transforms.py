@@ -344,6 +344,37 @@ class SphericalHarmonics:
         div = chi * self.laplacian_eig
         return vrt, div
 
+    def mu_multiplier_operator(self, values_on_lat: np.ndarray) -> jax.Array:
+        """Spectral operator equivalent to synthesize -> multiply by a
+        latitude-only field -> analyze.
+
+        Because the engine's transforms are linear and a lat-only multiplier
+        is diagonal in both longitude and latitude samples, the grid-space
+        round trip collapses per m to the dense matrix
+        ``M[m] = A[m] @ diag(v) @ P[m]`` -- bit-identical semantics with no
+        FFTs and a single m-batched contraction. Used e.g. to fuse the
+        barotropic psi-model's hemisphere sign correction
+        (reference model.py:298-301) into the spectral update.
+
+        Returns: (M, N, N) real table; apply with
+        ``apply_mu_multiplier(op, spec)``.
+        """
+        v = np.asarray(values_on_lat, dtype=np.float64)
+        P = np.asarray(self.P, dtype=np.float64)
+        A = np.asarray(self.A, dtype=np.float64)
+        M = np.einsum("mnj,j,mjk->mnk", A, v, P)
+        return jnp.asarray(M, dtype=self.dtype)
+
+    def apply_mu_multiplier(self, op: jax.Array, spec: jax.Array) -> jax.Array:
+        """Apply a mu_multiplier_operator table: (..., m, n) -> (..., m, n)."""
+        spec = spec.astype(self.cdtype)
+        ri = jnp.stack([spec.real, spec.imag])
+        out = jnp.einsum(
+            "mnk,h...mk->h...mn", op, ri.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        return jax.lax.complex(out[0], out[1])
+
     # ------------------------------------------------- pyspharm-compat extras
     @property
     def wavenumbers(self) -> tuple[np.ndarray, np.ndarray]:

@@ -222,3 +222,29 @@ class TestPacking:
         assert len(m) == sh.nspec
         assert (m + nmm <= 15).all()
         assert (nmm >= 0).all()
+
+
+class TestMuMultiplier:
+    def test_matches_grid_roundtrip(self):
+        """The precomputed lat-multiplier operator must equal
+        synthesize -> multiply -> analyze exactly (both are linear)."""
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 20, dtype=jnp.float64)
+        v = np.where(grid.lat < 0, -1.0, 1.0)
+        op = sh.mu_multiplier_operator(v)
+        spec = random_spec(sh, key=11)
+        via_grid = sh.analyze(sh.synthesize(spec) * v[:, None])
+        via_op = sh.apply_mu_multiplier(op, spec)
+        np.testing.assert_allclose(
+            np.asarray(via_op), np.asarray(via_grid), atol=1e-12
+        )
+
+    def test_identity_multiplier(self):
+        grid = LatLonGrid.regular(25, 48)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float64)
+        op = sh.mu_multiplier_operator(np.ones(25))
+        spec = random_spec(sh, key=12)
+        np.testing.assert_allclose(
+            np.asarray(sh.apply_mu_multiplier(op, spec)),
+            np.asarray(spec), atol=1e-12,
+        )
