@@ -257,9 +257,40 @@ class BarotropicModel(_BarotropicBase):
             t=jnp.asarray(0.0, dtype=self.sh.dtype),
         )
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Stacked synthesis table for the fused tendency (built eagerly --
+        # never inside a trace): vrt, u and v are all linear in
+        # psi = inv_lap(vrt), so one (m, 3J, n) contraction produces all
+        # three Fourier-mode sets:
+        #   rows [0, J):   P * lap_eig   -> vrt
+        #   rows [J, 2J):  -H / a        -> u  (chi = 0)
+        #   rows [2J, 3J): G / a         -> v  (times i*m afterwards)
+        sh = self.sh
+        a = self.grid.radius
+        P_lap = sh.P * sh.laplacian_eig[:, None, :]
+        self._syn_table = jnp.concatenate(
+            [P_lap, -sh.H / a, sh.G / a], axis=1
+        )
+
     def _tendency(self, vrt_spec: jax.Array) -> jax.Array:
-        vrt = self.sh.synthesize(vrt_spec)
-        u, v = self.sh.uv_from_vrtdiv(vrt_spec, jnp.zeros_like(vrt_spec))
+        sh = self.sh
+        J = self.grid.nlat
+        psi = (vrt_spec * sh.inv_laplacian_eig).astype(sh.cdtype)
+        # vrt loses its n=0 mode through inv_lap/lap; restore it exactly.
+        n0 = vrt_spec[..., :, 0:1]
+        modes = sh._legendre_syn(self._syn_table, psi)  # (..., m, 3J)
+        im = (1j * sh.m_vals).astype(sh.cdtype)[:, None]
+        stacked = jnp.stack(
+            [
+                modes[..., :J]
+                + sh._legendre_syn(sh.P[:, :, 0:1], n0),  # vrt
+                modes[..., J : 2 * J],  # u
+                im * modes[..., 2 * J :],  # v
+            ]
+        )
+        grids = sh._inv_fourier(stacked)  # one batched irfft
+        vrt, u, v = grids[0], grids[1], grids[2]
         abs_vrt = self.f_grid + vrt
         dudt = -abs_vrt * v
         dvdt = abs_vrt * u
