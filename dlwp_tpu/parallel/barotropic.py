@@ -46,12 +46,39 @@ class ShardedBarotropicModel(BarotropicModel):
 
     # ---------------------------------------------------------------- local
     def _local_tendency(self, vrt_spec_local: jax.Array) -> jax.Array:
-        """Tendency on m-sharded state (inside shard_map)."""
+        """Tendency on m-sharded state (inside shard_map), using the fused
+        stacked synthesis table (same algebra as the single-device
+        BarotropicModel._tendency, sliced to this shard's m band)."""
         ssh = self.ssh
-        vrt = ssh.local_synthesize(vrt_spec_local)  # lat-sharded grid
-        u, v = ssh.local_uv_from_vrtdiv(
-            vrt_spec_local, jnp.zeros_like(vrt_spec_local)
+        sh = self.sh
+        J = self.grid.nlat
+        inv = _mslice(sh.inv_laplacian_eig, self.axis, ssh.m_per)
+        psi = (vrt_spec_local * inv).astype(sh.cdtype)
+        n0 = vrt_spec_local[..., :, 0:1].astype(sh.cdtype)
+        table = _mslice(self._syn_table, self.axis, ssh.m_per)
+        ri = jnp.stack([psi.real, psi.imag])
+        modes_ri = jnp.einsum(
+            "mjn,k...mn->k...mj", table, ri.astype(sh.dtype),
+            preferred_element_type=sh.dtype,
         )
+        modes = jax.lax.complex(modes_ri[0], modes_ri[1])
+        P0 = _mslice(sh.P[:, :, 0:1], self.axis, ssh.m_per)
+        n0_ri = jnp.stack([n0.real, n0.imag])
+        n0_modes_ri = jnp.einsum(
+            "mjn,k...mn->k...mj", P0, n0_ri.astype(sh.dtype),
+            preferred_element_type=sh.dtype,
+        )
+        n0_modes = jax.lax.complex(n0_modes_ri[0], n0_modes_ri[1])
+        i0 = jax.lax.axis_index(self.axis) * ssh.m_per
+        m_vals = i0 + jnp.arange(ssh.m_per, dtype=sh.dtype)
+        im = (1j * m_vals).astype(sh.cdtype)[:, None]
+        stacked = jnp.stack([
+            modes[..., :J] + n0_modes,  # vrt
+            modes[..., J : 2 * J],  # u
+            im * modes[..., 2 * J :],  # v
+        ])
+        grids = ssh.local_inv_fourier(ssh._transpose_to_grid(stacked))
+        vrt, u, v = grids[0], grids[1], grids[2]
         # Local latitude rows of the Coriolis parameter.
         i = jax.lax.axis_index(self.axis)
         f_loc = jax.lax.dynamic_slice_in_dim(
