@@ -67,7 +67,7 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3):
     return gps, elapsed
 
 
-def bench_barotropic(steps=100):
+def bench_barotropic(steps=500):
     import jax
     import jax.numpy as jnp
     from dlwp_tpu.grid import LatLonGrid
