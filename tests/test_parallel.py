@@ -271,3 +271,29 @@ class TestOverlappedStencil:
                                        interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-5)
+
+
+class TestDistributedHelpers:
+    def test_multihost_mesh_single_process(self):
+        require_devices(8)
+        from dlwp_tpu.parallel.distributed import is_primary, multihost_mesh
+
+        mesh = multihost_mesh(MeshConfig(data=-1, lat=2))
+        assert mesh.shape == {"data": 4, "lat": 2}
+        assert is_primary()  # single-process environment
+
+
+class TestProfilingUtils:
+    def test_throughput_meter(self):
+        from dlwp_tpu.utils.profiling import StepTimer, ThroughputMeter
+
+        m = ThroughputMeter(36, 144, n_chips=4)
+        r = m.rate(batch=16, steps=10, seconds=2.0)
+        assert r == 16 * 10 * 36 * 144 / 2.0
+        assert m.rate_per_chip(16, 10, 2.0) == r / 4
+        assert m.scaling_efficiency(100.0, 360.0, 4) == 0.9
+
+        t = StepTimer()
+        t.start()
+        t.stop()
+        assert t.best >= 0.0 and len(t.times) == 1
