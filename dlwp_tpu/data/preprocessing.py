@@ -108,6 +108,7 @@ class Preprocessor:
         scale_variables: bool = True,
         batch_samples: int = 1000,
         dtype=np.float32,
+        output_file: str | None = None,
     ) -> PredictorDataset:
         """Continuous-series predictor data (preprocessing.py:442-789).
 
@@ -115,6 +116,13 @@ class Preprocessor:
         (sample, varlev, lat, lon); per-varlev mean/std are computed by
         streaming batches and, if ``scale_variables``, applied as
         (x - mean) / std with the statistics stored in the file.
+
+        With ``output_file``, scaled batches stream straight to a chunked
+        HDF5 file and the returned dataset is lazily backed by it -- host
+        memory stays O(batch_samples) no matter how long the series is (the
+        reference's batched chunked-netCDF writes,
+        preprocessing.py:224-239, 637-695). Without it, the series builds
+        in memory.
         """
         names = _varlev_names(variables, levels, pairwise)
         times = np.asarray(self.source.times)
@@ -122,8 +130,27 @@ class Preprocessor:
         lon = np.asarray(self.source.lon)
         n = len(times)
         nv = len(names)
+        shape = (n, nv, lat.shape[0], lon.shape[0])
+        attrs = {
+            "scaling": "True" if scale_variables else "False",
+            "format": "series",
+        }
 
-        pred = np.empty((n, nv, lat.shape[0], lon.shape[0]), dtype=dtype)
+        if output_file is not None:
+            import h5py
+
+            sink = h5py.File(output_file, "w")
+            # One chunk per (batch, varlev) write below: every chunk is
+            # written exactly once, so writes never read-modify-write.
+            pred = sink.create_dataset(
+                "predictors",
+                shape=shape,
+                dtype=dtype,
+                chunks=(min(batch_samples, n), 1) + shape[2:],
+            )
+        else:
+            sink = None
+            pred = np.empty(shape, dtype=dtype)
         mean = np.empty(nv)
         std = np.empty(nv)
         for j, (v, l, _) in enumerate(names):
@@ -138,6 +165,23 @@ class Preprocessor:
                     chunk = (chunk - mean[j]) / std[j]
                 pred[i : i + batch_samples, j] = chunk.astype(dtype)
 
+        if sink is not None:
+            sink.create_dataset(
+                "sample", data=times.astype("datetime64[ns]").astype(np.int64)
+            )
+            sink.create_dataset(
+                "varlev", data=np.array([nm.encode() for _, _, nm in names])
+            )
+            sink.create_dataset("lat", data=lat)
+            sink.create_dataset("lon", data=lon)
+            sink.create_dataset("mean", data=mean)
+            sink.create_dataset("std", data=std)
+            for k, val in attrs.items():
+                sink.attrs[k] = val
+            sink.close()
+            self.data = PredictorDataset.from_file(output_file, load="lazy")
+            return self.data
+
         self.data = PredictorDataset(
             predictors=pred,
             sample=times.astype("datetime64[ns]"),
@@ -146,10 +190,7 @@ class Preprocessor:
             lon=lon,
             mean=mean,
             std=std,
-            attrs={
-                "scaling": "True" if scale_variables else "False",
-                "format": "series",
-            },
+            attrs=attrs,
         )
         return self.data
 
@@ -163,31 +204,83 @@ class Preprocessor:
         scale_variables: bool = True,
         batch_samples: int = 1000,
         dtype=np.float32,
+        output_file: str | None = None,
     ) -> PredictorDataset:
         """Samples-format predictor/target pairs (preprocessing.py:63-440):
         dims (sample, time_step, varlev, lat, lon); sample i holds inputs at
         times [i .. i+T-1] and targets at [i+T .. i+2T-1], sample datetime
-        assigned from the last input step (generators.py:395-398)."""
+        assigned from the last input step (generators.py:395-398).
+
+        With ``output_file``, both the intermediate series (written to
+        ``output_file + '.series'``) and the stacked samples stream through
+        disk in O(batch_samples) memory.
+        """
+        series_file = None if output_file is None else output_file + ".series"
         series = self.data_to_series(
-            variables, levels, pairwise, scale_variables, batch_samples, dtype
+            variables, levels, pairwise, scale_variables, batch_samples,
+            dtype, output_file=series_file,
         )
-        arr = np.asarray(series.predictors)
+        arr = series.predictors  # numpy, or lazy h5py when streaming
         T = int(time_steps)
         n = arr.shape[0] - 2 * T + 1
         if n <= 0:
+            if series_file is not None:
+                series.close()
+                import os
+
+                os.remove(series_file)
             raise ValueError("not enough samples for requested time_steps")
-        pred = np.stack([arr[i : i + n] for i in range(T)], axis=1)
-        targ = np.stack([arr[i + T : i + T + n] for i in range(T)], axis=1)
+        out_shape = (n, T) + tuple(arr.shape[1:])
+        if output_file is not None:
+            import h5py
+
+            sink = h5py.File(output_file, "w")
+            chunk = (min(batch_samples, n), 1) + tuple(arr.shape[1:])
+            pred = sink.create_dataset(
+                "predictors", shape=out_shape, dtype=dtype, chunks=chunk
+            )
+            targ = sink.create_dataset(
+                "targets", shape=out_shape, dtype=dtype, chunks=chunk
+            )
+        else:
+            sink = None
+            pred = np.empty(out_shape, dtype=dtype)
+            targ = np.empty(out_shape, dtype=dtype)
+        for i in range(0, n, batch_samples):
+            b = min(i + batch_samples, n) - i
+            for t in range(T):
+                pred[i : i + b, t] = arr[i + t : i + t + b]
+                targ[i : i + b, t] = arr[i + T + t : i + T + t + b]
+        sample_times = series.sample[T - 1 : T - 1 + n]
+        attrs = {"scaling": series.attrs["scaling"], "format": "samples"}
+        if sink is not None:
+            sink.create_dataset(
+                "sample",
+                data=sample_times.astype("datetime64[ns]").astype(np.int64),
+            )
+            sink.create_dataset(
+                "varlev", data=np.array([v.encode() for v in series.varlev])
+            )
+            sink.create_dataset("lat", data=np.asarray(series.lat))
+            sink.create_dataset("lon", data=np.asarray(series.lon))
+            sink.create_dataset("mean", data=np.asarray(series.mean))
+            sink.create_dataset("std", data=np.asarray(series.std))
+            for k, val in attrs.items():
+                sink.attrs[k] = val
+            sink.close()
+            series.close()
+            self.data = PredictorDataset.from_file(output_file, load="lazy")
+            return self.data
         self.data = PredictorDataset(
-            predictors=pred.astype(dtype),
-            targets=targ.astype(dtype),
-            sample=series.sample[T - 1 : T - 1 + n],
+            predictors=pred,
+            targets=targ,
+            sample=sample_times,
             varlev=series.varlev,
             lat=series.lat,
             lon=series.lon,
             mean=series.mean,
             std=series.std,
-            attrs={"scaling": series.attrs["scaling"], "format": "samples"},
+            attrs=attrs,
         )
         return self.data
 

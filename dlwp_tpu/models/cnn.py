@@ -81,6 +81,40 @@ ZeroPadding3D = ZeroPadding2D
 FillPadding3D = FillPadding2D
 
 
+class TFPadding2D(nn.Module):
+    """`tf.pad`-mode padding layer (reference ``TFPadding2D``,
+    custom.py:527-599): CONSTANT / SYMMETRIC / REFLECT modes over the two
+    trailing spatial axes, with ``constant_values`` for CONSTANT mode."""
+
+    padding: Any = (1, 1)
+    mode: str = "CONSTANT"
+    constant_values: float = 0.0
+    n_axes: int = 2
+
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            amounts = [(pad, pad)] * self.n_axes
+        else:
+            amounts = [(p, p) if isinstance(p, int) else tuple(p) for p in pad]
+        full = [(0, 0)] * (x.ndim - len(amounts)) + amounts
+        mode = self.mode.upper()
+        if mode == "CONSTANT":
+            return jnp.pad(x, full, constant_values=self.constant_values)
+        if mode == "SYMMETRIC":
+            return jnp.pad(x, full, mode="symmetric")
+        if mode == "REFLECT":
+            return jnp.pad(x, full, mode="reflect")
+        raise ValueError(f"unknown tf.pad mode {self.mode!r}")
+
+
+class TFPadding3D(TFPadding2D):
+    """3-axis variant (reference ``TFPadding3D``, custom.py:602-672)."""
+
+    padding: Any = (1, 1, 1)
+    n_axes: int = 3
+
+
 class Conv2D(nn.Module):
     """Plain Keras-style Conv2D (channels-first), VALID or SAME padding.
 
@@ -209,6 +243,20 @@ def _pad_layer(cls):
     return build
 
 
+def _tf_pad_layer(cls):
+    def build(*args, **kw):
+        kw.pop("data_format", None)
+        kw.pop("input_shape", None)
+        pad = args[0] if args else kw.get("padding", cls.padding)
+        return cls(
+            padding=pad,
+            mode=kw.get("mode", "CONSTANT"),
+            constant_values=kw.get("constant_values", 0.0),
+        )
+
+    return build
+
+
 def _slice_layer(*args, **kw):
     # reference slice_layer(start, stop, axis) factory (custom.py:675-692)
     from dlwp_tpu.models.unet import SliceChannels
@@ -245,6 +293,8 @@ LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "ZeroPadding3D": _pad_layer(ZeroPadding3D),
     "FillPadding2D": _pad_layer(FillPadding2D),
     "FillPadding3D": _pad_layer(FillPadding3D),
+    "TFPadding2D": _tf_pad_layer(TFPadding2D),
+    "TFPadding3D": _tf_pad_layer(TFPadding3D),
 }
 
 

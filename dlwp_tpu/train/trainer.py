@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Callable, Iterable
 
 import numpy as np
@@ -182,6 +183,7 @@ class Trainer:
             self._sharding = NamedSharding(mesh, batch_spec)
         self.params = None
         self.opt_state = None
+        self._warned_ragged = False
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._jit_eval_step = jax.jit(self._eval_step)
 
@@ -335,6 +337,15 @@ class Trainer:
                     # ragged final batch (drop_remainder semantics).
                     n_shards = self.mesh.shape.get("data", 1)
                     if len(xb) % n_shards:
+                        if not self._warned_ragged:
+                            self._warned_ragged = True
+                            warnings.warn(
+                                f"dropping ragged batch of {len(xb)} samples "
+                                f"not divisible by {n_shards} data shards; "
+                                "pad the dataset or pick a divisible batch "
+                                "size to train on every sample",
+                                stacklevel=2,
+                            )
                         continue
                 xb = self._device_put(np.asarray(xb))
                 yb = self._device_put(np.asarray(yb))

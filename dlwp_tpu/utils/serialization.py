@@ -36,11 +36,14 @@ def save_model(model, file_path: str, history=None) -> None:
 
 def load_model(file_path: str, history: bool = False):
     """Load a saved model wrapper (reference util.py:156-192)."""
-    from dlwp_tpu.models.api import DLWPNeuralNet
+    from dlwp_tpu.models.api import DLWPFunctional, DLWPNeuralNet
 
     with open(file_path + ".pkl", "rb") as f:
         blob = pickle.load(f)
-    classes = {"DLWPNeuralNet": DLWPNeuralNet}
+    classes = {
+        "DLWPNeuralNet": DLWPNeuralNet,
+        "DLWPFunctional": DLWPFunctional,
+    }
     cls = classes[blob["class"]]
     state = blob["state"]
     try:

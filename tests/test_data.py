@@ -81,6 +81,74 @@ class TestPreprocessor:
             np.asarray(ds.targets)[0, 0], np.asarray(ds.predictors)[1, 1]
         )
 
+    def test_streaming_disk_writes(self, tmp_path):
+        """With output_file, the series streams to disk in O(batch) memory:
+        a source that refuses to serve slices above an enforced cap still
+        preprocesses fine, and the result is lazily file-backed (matches the
+        reference's chunked streaming, preprocessing.py:224-239, 637-695)."""
+
+        class CappedSource(SyntheticSource):
+            """Raises if any single field slice exceeds `cap` samples."""
+
+            cap = 8
+
+            def field(self, variable, level):
+                full = super().field(variable, level)
+                cap = self.cap
+
+                class Guard:
+                    shape = full.shape
+
+                    def __getitem__(self, idx):
+                        out = full[idx]
+                        if out.ndim == 3 and out.shape[0] > cap:
+                            raise MemoryError(
+                                f"slice of {out.shape[0]} samples exceeds "
+                                f"enforced cap of {cap}"
+                            )
+                        return out
+
+                return Guard()
+
+        src = CappedSource(n=40)
+        path = str(tmp_path / "stream.h5")
+        pp = Preprocessor(src)
+        ds = pp.data_to_series(
+            ["HGT", "THICK"], [500, "300-700"], pairwise=True,
+            batch_samples=8, output_file=path,
+        )
+        # Lazily backed by the file, not a materialized numpy array.
+        assert not isinstance(ds.predictors, np.ndarray)
+        # Content identical to the in-memory path.
+        ref = make_series(n=40, batch_samples=8)
+        np.testing.assert_allclose(
+            np.asarray(ds.predictors[:]), np.asarray(ref.predictors),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(ds.mean, ref.mean, rtol=1e-12)
+        ds.close()
+        # Over-cap access fails without streaming -> the cap is real.
+        with pytest.raises(MemoryError):
+            pp2 = Preprocessor(src)
+            pp2.data_to_series(["HGT"], [500], batch_samples=40)
+
+    def test_streaming_samples_writes(self, tmp_path):
+        src = SyntheticSource(n=20)
+        path = str(tmp_path / "samples.h5")
+        ds = Preprocessor(src).data_to_samples(
+            ["HGT"], [500], time_steps=2, batch_samples=6, output_file=path,
+        )
+        ref = Preprocessor(src).data_to_samples(["HGT"], [500], time_steps=2)
+        assert not isinstance(ds.predictors, np.ndarray)
+        np.testing.assert_allclose(
+            np.asarray(ds.predictors[:]), np.asarray(ref.predictors), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ds.targets[:]), np.asarray(ref.targets), rtol=1e-6
+        )
+        np.testing.assert_array_equal(ds.sample, ref.sample)
+        ds.close()
+
     def test_file_roundtrip(self, tmp_path):
         ds = make_series()
         path = str(tmp_path / "predictors.h5")

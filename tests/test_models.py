@@ -112,6 +112,37 @@ class TestBuilder:
         with pytest.raises(ValueError, match="unknown layer"):
             build_sequential([("NotALayer", (), {})])
 
+    def test_tf_padding_registry(self):
+        """Reference TFPadding2D/3D specs (custom.py:527-672) resolve and
+        apply CONSTANT / SYMMETRIC / REFLECT semantics."""
+        x = rand(2, 3, 4, 8)
+        for mode, np_mode in [("SYMMETRIC", "symmetric"), ("REFLECT", "reflect")]:
+            m = build_sequential([
+                ("TFPadding2D", (((1, 1), (2, 2)),),
+                 {"mode": mode, "data_format": "channels_first"}),
+            ])
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(p, x)
+            expect = np.pad(
+                np.asarray(x), [(0, 0), (0, 0), (1, 1), (2, 2)], mode=np_mode
+            )
+            np.testing.assert_allclose(np.asarray(y), expect)
+        m = build_sequential([
+            ("TFPadding2D", (((0, 1), (0, 0)),),
+             {"mode": "CONSTANT", "constant_values": 7.0}),
+        ])
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(p, x))
+        assert y.shape == (2, 3, 5, 8)
+        np.testing.assert_allclose(y[:, :, -1], 7.0)
+        # 3-D variant pads three trailing axes (ConvLSTM-style inputs).
+        x5 = rand(2, 2, 3, 4, 8)
+        m3 = build_sequential([
+            ("TFPadding3D", (((0, 0), (1, 1), (2, 2)),), {"mode": "SYMMETRIC"}),
+        ])
+        p3 = m3.init(jax.random.PRNGKey(0), x5)
+        assert m3.apply(p3, x5).shape == (2, 2, 3, 6, 12)
+
 
 class TestTrainer:
     def test_loss_decreases(self):
@@ -265,6 +296,28 @@ class TestDLWPFunctional:
         assert len(hist.epoch) == 5
         seq = dlwp.predict_sequence(x[:2])
         assert seq.shape == (2, 2, 1, 6, 12)  # (_n_steps, sample, ...)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        """DLWPFunctional persists and reloads through load_model's class
+        registry (round-1 gap: only DLWPNeuralNet was registered)."""
+        from dlwp_tpu.models import DLWPFunctional
+
+        dlwp = DLWPFunctional(time_dim=1)
+        dlwp.build_model(
+            [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (1, 3), {})],
+            sequence_steps=2,
+        )
+        x = np.asarray(rand(4, 1, 6, 12))
+        y = np.stack([np.roll(x, 1, -1), np.roll(x, 2, -1)], axis=1)
+        dlwp.fit(x, y, epochs=1, batch_size=4, verbose=False)
+        pred1 = dlwp.predict(x)
+        path = str(tmp_path / "func_model")
+        save_model(dlwp, path)
+        loaded = load_model(path)
+        assert isinstance(loaded, DLWPFunctional)
+        assert loaded._n_steps == 2
+        np.testing.assert_allclose(pred1, loaded.predict(x), atol=1e-6)
 
 
 class TestLossPickling:

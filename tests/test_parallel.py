@@ -160,6 +160,24 @@ class TestDataParallelTraining:
             hist.history["loss"], hist2.history["loss"], rtol=1e-5
         )
 
+    def test_ragged_batch_warns_once(self):
+        require_devices(8)
+        import warnings as _warnings
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        mesh = build_mesh(MeshConfig(data=8, lat=1))
+        model = build_sequential([("CyclicConv2D", (1, 1), {})])
+        # 20 samples @ batch 16 -> final batch of 4 is not divisible by 8.
+        x = np.zeros((20, 1, 4, 8), dtype=np.float32)
+        tr = Trainer(model, TrainConfig(epochs=2, batch_size=16, shuffle=False),
+                     mesh=mesh, batch_spec=P("data"))
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            tr.fit(x=x, y=x, verbose=False)
+        ragged = [w for w in caught if "ragged batch" in str(w.message)]
+        assert len(ragged) == 1  # warned, and only once across epochs
+
 
 class TestPallasHalo:
     def test_interpret_mode_matches_oracle(self):
