@@ -33,7 +33,7 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3):
     import jax.numpy as jnp
     from __graft_entry__ import _flagship
 
-    model, params, _ = _flagship(nlat=nlat, nlon=nlon)
+    model, params, _ = _flagship(nlat=nlat, nlon=nlon, convlstm=False)
     c_in = 6
     x0 = jnp.asarray(
         np.random.RandomState(0).randn(batch, c_in, nlat, nlon),
@@ -65,6 +65,42 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3):
     elapsed = min(times)
     gps = batch * steps * nlat * nlon / elapsed
     return gps, elapsed
+
+
+def bench_convlstm_rollout(batch=64, steps=32, nlat=36, nlon=144, repeats=3):
+    """Canonical ConvLSTM-front-end flagship rollout (reference
+    train.py:142-221 configuration) -- secondary diagnostic."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+
+    model, params, x0 = _flagship(nlat=nlat, nlon=nlon, convlstm=True)
+    x0 = jnp.asarray(
+        np.random.RandomState(0).randn(batch, *x0.shape[1:]),
+        dtype=jnp.float32,
+    )
+
+    def step(x, _):
+        pred = model.apply(params, x)  # (B, T, c, H, W)
+        # Feed predictions back; persist the insolation forcing channel.
+        nxt = jnp.concatenate([pred, x[:, :, 2:3]], axis=2)
+        return nxt, pred[:, 0, :1]
+
+    @jax.jit
+    def rollout(x):
+        _, out = jax.lax.scan(step, x, None, length=steps)
+        return out
+
+    out = rollout(x0)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = rollout(x0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    return batch * steps * nlat * nlon / elapsed, elapsed
 
 
 def bench_barotropic(steps=500):
@@ -101,6 +137,16 @@ def main():
         )
     except Exception as e:  # secondary diagnostic must not break the bench
         print(f"barotropic bench failed: {e}", file=sys.stderr)
+    if os.environ.get("BENCH_CONVLSTM", "1") != "0":
+        try:
+            lstm_gps, _ = bench_convlstm_rollout()
+            print(
+                f"convlstm flagship rollout (batch 64): "
+                f"{lstm_gps / 1e6:.1f} Mgp/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"convlstm bench failed: {e}", file=sys.stderr)
 
     baseline = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

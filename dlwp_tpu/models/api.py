@@ -76,15 +76,42 @@ class DLWPNeuralNet:
         splice_fn: Callable | None = None,
         mesh=None,
         batch_spec=None,
+        target_spec=None,
+        spatial_impl: str = "ppermute",
         **train_kwargs,
     ) -> None:
         """Build the flax model from layer specs and set up training.
 
         ``layers`` is a list of flax modules and/or reference-style
         ``(name, args, kwargs)`` tuples (models.py:63-103 semantics).
+
+        ``mesh``/``batch_spec`` enable distributed training (the integrated
+        analogue of the reference's ``multi_gpu_model`` path,
+        models.py:104-109): a batch_spec of ``P('data')`` gives data
+        parallelism; one like ``P('data', None, 'lat', None)`` additionally
+        shards latitude bands and switches every spherical conv onto the
+        explicit halo-exchange path (``spatial_impl``: 'ppermute' XLA
+        collectives, or 'pallas' ICI remote DMA).
         """
         self.layer_specs = layers
-        self.base_model = build_sequential(layers)
+        spatial = None
+        if mesh is not None and batch_spec is not None:
+            lat_axes = [
+                a for a in tuple(batch_spec)[1:]
+                if a is not None and mesh.shape.get(a, 1) > 1
+            ]
+            if lat_axes:
+                from dlwp_tpu.parallel.spatial import SpatialSharding
+
+                data_axis = tuple(batch_spec)[0]
+                spatial = SpatialSharding(
+                    mesh=mesh,
+                    data_axis=data_axis,
+                    lat_axis=lat_axes[0],
+                    impl=spatial_impl,
+                )
+        self._spatial = spatial
+        self.base_model = build_sequential(layers, spatial=spatial)
         self._train_config = TrainConfig(
             loss=loss,
             optimizer=optimizer,
@@ -99,6 +126,7 @@ class DLWPNeuralNet:
             splice_fn=splice_fn,
             mesh=mesh,
             batch_spec=batch_spec,
+            target_spec=target_spec,
             metrics=metrics,
         )
 
@@ -208,7 +236,9 @@ class DLWPNeuralNet:
         )
         if self.impute:
             predictors = self.imputer_transform(predictors)
-        x0 = jnp.asarray(self.scaler_transform(np.asarray(predictors)))
+        x0 = self.scaler_transform(np.asarray(predictors))
+        # Shard the rollout state like a training batch (dp x sp rollout).
+        x0 = self.trainer._device_put(np.asarray(x0))
         sample_dim = x0.shape[0]
         feature_shape = x0.shape[2:] if self.is_recurrent else x0.shape[1:]
         td = self.time_dim

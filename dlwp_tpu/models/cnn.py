@@ -314,10 +314,20 @@ def resolve_layer(spec) -> nn.Module:
     return builder(*args, **kwargs)
 
 
-def build_sequential(specs: Sequence) -> "SequentialModel":
+def build_sequential(specs: Sequence, spatial=None) -> "SequentialModel":
     """Build a SequentialModel from a list of specs (reference
-    ``build_model`` layer-tuple semantics, models.py:63-103)."""
-    return SequentialModel(layers=tuple(resolve_layer(s) for s in specs))
+    ``build_model`` layer-tuple semantics, models.py:63-103).
+
+    ``spatial``: optional
+    :class:`~dlwp_tpu.parallel.spatial.SpatialSharding`; attached to every
+    layer that supports it so convs run the explicit lat-band sharded path.
+    """
+    layers = tuple(resolve_layer(s) for s in specs)
+    if spatial is not None:
+        from dlwp_tpu.parallel.spatial import attach_spatial
+
+        layers = tuple(attach_spatial(l, spatial) for l in layers)
+    return SequentialModel(layers=layers)
 
 
 class SequentialModel(nn.Module):

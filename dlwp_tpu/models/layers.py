@@ -15,6 +15,7 @@ convention throughout.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax
@@ -78,6 +79,11 @@ class CyclicConv2D(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     impl: str = "pad"  # 'pad' (default) | 'edgefix' (see ops.conv notes)
+    # Optional dlwp_tpu.parallel.spatial.SpatialSharding: when set, the conv
+    # dispatches to the explicit lat-band shard_map halo-exchange path
+    # whenever shapes admit it (the integrated analogue of the reference's
+    # multi_gpu_model wiring, models.py:104-109).
+    spatial: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -89,7 +95,12 @@ class CyclicConv2D(nn.Module):
             (self.features, c_in, kh, kw),
             self.dtype or x.dtype,
         )
-        if (
+        if self.spatial is not None:
+            y = self.spatial.conv(
+                x, kernel, strides=self.strides,
+                dilation=_pair(self.dilation), lat_mode=self.lat_mode,
+            )
+        elif (
             self.impl == "edgefix"
             and self.strides == (1, 1)
             and self.lat_mode == "zero"
@@ -166,6 +177,7 @@ class ConvLSTM2D(nn.Module):
     return_sequences: bool = True
     lat_mode: str = "zero"
     dtype: Any = None
+    spatial: Any = None  # as in CyclicConv2D; applies to both convolutions
 
     @nn.compact
     def __call__(self, x):
@@ -190,10 +202,15 @@ class ConvLSTM2D(nn.Module):
         r_act = get_activation(self.recurrent_activation)
         dil = _pair(self.dilation)
 
+        if self.spatial is not None:
+            conv = partial(self.spatial.conv, lat_mode=self.lat_mode)
+        else:
+            conv = partial(cyclic_conv2d, lat_mode=self.lat_mode)
+
         def step(carry, x_t):
             h, c = carry
-            zx = cyclic_conv2d(x_t, Wx, lat_mode=self.lat_mode, dilation=dil)
-            zh = cyclic_conv2d(h, Wh, lat_mode=self.lat_mode)
+            zx = conv(x_t, Wx, dilation=dil)
+            zh = conv(h, Wh)
             z = zx + zh + bias[..., :, None, None]
             i, f, g, o = jnp.split(z, 4, axis=-3)
             c_new = r_act(f) * c + r_act(i) * act(g)

@@ -56,28 +56,32 @@ class SkipTower(nn.Module):
     time_steps: int = 0
     lstm_features: int = 8
     activation: str = "tanh"
+    spatial: object = None  # SpatialSharding for lat-band sharded convs
 
     @nn.compact
     def __call__(self, x):
         w = self.width
+        sp = self.spatial
         if self.time_steps:
             B, T, C, H, W = x.shape
             x = ConvLSTM2D(self.lstm_features, 3, dilation=2,
-                           return_sequences=True)(x)
+                           return_sequences=True, spatial=sp)(x)
             x = x.reshape(B, T * self.lstm_features, H, W)
 
-        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation)(x)
+        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
+                         spatial=sp)(x)
         x, skip1 = x[:, : w // 2], x[:, w // 2 :]
         x = MaxPool2D(2)(x)
-        x = CyclicConv2D(2 * w, 3, activation=self.activation)(x)
+        x = CyclicConv2D(2 * w, 3, activation=self.activation, spatial=sp)(x)
         x, skip2 = x[:, :w], x[:, w:]
         x = MaxPool2D(2)(x)
-        x = CyclicConv2D(4 * w, 3, activation=self.activation)(x)
+        x = CyclicConv2D(4 * w, 3, activation=self.activation, spatial=sp)(x)
         x = UpSampling2D(2)(x)
-        x = CyclicConv2D(2 * w, 3, activation=self.activation)(x)
+        x = CyclicConv2D(2 * w, 3, activation=self.activation, spatial=sp)(x)
         x = jnp.concatenate([x, skip2], axis=-3)
         x = UpSampling2D(2)(x)
-        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation)(x)
+        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
+                         spatial=sp)(x)
         x = jnp.concatenate([x, skip1], axis=-3)
-        x = CyclicConv2D(self.c_out, 5, activation="linear")(x)
+        x = CyclicConv2D(self.c_out, 5, activation="linear", spatial=sp)(x)
         return x

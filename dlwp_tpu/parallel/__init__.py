@@ -18,6 +18,7 @@ from dlwp_tpu.parallel.mesh import MeshConfig, build_mesh, batch_sharding
 from dlwp_tpu.parallel.halo import halo_exchange_lat, sharded_cyclic_conv2d
 from dlwp_tpu.parallel.pallas_halo import pallas_sharded_cyclic_conv2d
 from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
+from dlwp_tpu.parallel.spatial import SpatialSharding
 
 __all__ = [
     "MeshConfig",
@@ -27,4 +28,5 @@ __all__ = [
     "sharded_cyclic_conv2d",
     "pallas_sharded_cyclic_conv2d",
     "overlapped_cyclic_conv2d",
+    "SpatialSharding",
 ]

@@ -1,0 +1,160 @@
+"""Spatial (latitude-band) sharding integration for model layers.
+
+Round 1 built the domain-decomposed stencil paths as free functions
+(:mod:`dlwp_tpu.parallel.halo`, :mod:`dlwp_tpu.parallel.pallas_halo`,
+:mod:`dlwp_tpu.parallel.pallas_overlap`); this module wires them into the
+layers users actually train. A :class:`SpatialSharding` config attaches to
+:class:`~dlwp_tpu.models.layers.CyclicConv2D` (via ``build_sequential`` /
+``DLWPNeuralNet.build_model(mesh=..., batch_spec=...)``) and dispatches each
+conv to the explicit shard_map halo-exchange path whenever the shapes admit
+it, falling back to the single-device formulation (which GSPMD partitions)
+otherwise -- so one model definition serves single-chip, data-parallel, and
+dp x sp spatial-parallel execution.
+
+The reference's only integrated parallelism was ``multi_gpu_model`` inside
+``DLWPNeuralNet.build_model`` (``DLWP/model/models.py:104-109``); this is
+the TPU-native equivalent with spatial decomposition added on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dlwp_tpu.ops.conv import cyclic_conv2d
+from dlwp_tpu.parallel.halo import _local_cyclic_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialSharding:
+    """Latitude-band spatial decomposition config for spherical convs.
+
+    Attributes:
+        mesh: the device mesh; must contain ``lat_axis`` (and usually
+            ``data_axis``).
+        data_axis: mesh axis for batch sharding, or None for pure spatial.
+        lat_axis: mesh axis the latitude dimension is sharded over.
+        impl: 'ppermute' (portable XLA collectives) or 'pallas' (explicit
+            ICI remote-DMA halo kernel; TPU, or interpret mode on 1-D CPU
+            meshes).
+        interpret: run Pallas kernels in interpret mode (CPU testing).
+
+    Hashable/frozen so flax modules can carry it as a static field.
+    """
+
+    mesh: Mesh
+    data_axis: str | None = "data"
+    lat_axis: str = "lat"
+    impl: str = "ppermute"
+    interpret: bool = False
+
+    @property
+    def lat_shards(self) -> int:
+        return self.mesh.shape[self.lat_axis]
+
+    @property
+    def data_shards(self) -> int:
+        if self.data_axis is None:
+            return 1
+        return self.mesh.shape[self.data_axis]
+
+    def activation_spec(self, ndim: int) -> P:
+        """PartitionSpec for an (..., C, H, W) activation of rank ndim."""
+        lead: tuple = (self.data_axis,) + (None,) * (ndim - 4)
+        return P(*lead, None, self.lat_axis, None)
+
+    # ------------------------------------------------------------- dispatch
+    def shardable(self, x_shape, kernel_shape, strides, dilation, lat_mode) -> bool:
+        """Whether the explicit shard_map halo path applies to this conv.
+
+        Conditions (all static, evaluated at trace time):
+        - more than one latitude shard (else the plain conv is the same op);
+        - unit strides and zero-latitude boundaries (halo-exchange
+          semantics deliver zeros on outer edges);
+        - H divides evenly over the lat shards, batch over the data shards;
+        - the halo fits inside one neighbor block (single-hop exchange).
+        """
+        if self.lat_shards <= 1:
+            return False
+        if strides != (1, 1) or lat_mode != "zero":
+            return False
+        H = x_shape[-2]
+        B = x_shape[0] if len(x_shape) >= 4 else 1
+        if H % self.lat_shards or (self.data_axis and B % self.data_shards):
+            return False
+        eh = (kernel_shape[-2] - 1) * dilation[0]
+        halo = max(eh // 2, eh - eh // 2)
+        if halo > H // self.lat_shards:
+            return False
+        if self.impl == "pallas" and dilation != (1, 1):
+            return False  # the Pallas halo kernel is undilated
+        return True
+
+    def conv(
+        self,
+        x: jax.Array,
+        kernel: jax.Array,
+        strides=(1, 1),
+        dilation=(1, 1),
+        lat_mode: str = "zero",
+    ) -> jax.Array:
+        """Cyclic conv via the sharded path when admissible, else local."""
+        if not self.shardable(x.shape, kernel.shape, strides, dilation, lat_mode):
+            return cyclic_conv2d(
+                x, kernel, strides=strides, lat_mode=lat_mode, dilation=dilation
+            )
+        spec = self.activation_spec(x.ndim)
+        if self.impl == "pallas":
+            from dlwp_tpu.parallel.pallas_halo import pallas_halo_exchange_lat
+            from dlwp_tpu.ops.padding import pad_periodic
+            from jax import lax
+
+            kh, kw = kernel.shape[-2], kernel.shape[-1]
+            halo = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2)
+
+            def local_fn(xb, k):
+                x4 = xb.reshape((-1,) + xb.shape[-3:])
+                padded = pallas_halo_exchange_lat(
+                    x4, halo, axis_name=self.lat_axis,
+                    data_axis=self.data_axis, interpret=self.interpret,
+                )
+                ew = kw - 1
+                padded = pad_periodic(
+                    padded, ((0, 0), (ew // 2, ew - ew // 2))
+                )
+                out = lax.conv_general_dilated(
+                    padded, k, (1, 1), "VALID",
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                )
+                return out.reshape(xb.shape[:-3] + out.shape[1:])
+
+            return jax.shard_map(
+                local_fn, mesh=self.mesh, in_specs=(spec, P()),
+                out_specs=spec, check_vma=False,
+            )(x, kernel)
+
+        kh = kernel.shape[-2]
+        eh = (kh - 1) * dilation[0]
+        fn = partial(
+            _local_cyclic_conv,
+            halo=(eh // 2, eh - eh // 2),
+            axis_name=self.lat_axis,
+            dilation=dilation,
+        )
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=(spec, P()), out_specs=spec
+        )(x, kernel)
+
+
+def attach_spatial(layer, spatial: SpatialSharding | None):
+    """Return ``layer`` with ``spatial`` attached if it supports it (a
+    no-op for layers without a ``spatial`` field or with one already set)."""
+    if spatial is None:
+        return layer
+    if getattr(layer, "spatial", "missing") is None:
+        return layer.clone(spatial=spatial)
+    return layer

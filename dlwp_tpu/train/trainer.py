@@ -159,6 +159,7 @@ class Trainer:
         splice_fn: Callable | None = None,
         mesh=None,
         batch_spec=None,
+        target_spec=None,
         metrics: dict[str, Callable] | None = None,
     ):
         self.model = model
@@ -177,10 +178,23 @@ class Trainer:
         self.mesh = mesh
         self.batch_spec = batch_spec
         self._sharding = None
+        self._target_sharding = None
         if mesh is not None and batch_spec is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec
 
             self._sharding = NamedSharding(mesh, batch_spec)
+            if target_spec is None and self.config.sequence_steps > 1:
+                # Sequence targets carry a step axis at position 1
+                # (B, S, ...): shift the batch_spec's feature axes right so
+                # e.g. P('data', None, 'lat') still lands 'lat' on latitude.
+                parts = tuple(batch_spec)
+                if len(parts) > 1:
+                    target_spec = PartitionSpec(parts[0], None, *parts[1:])
+            self._target_sharding = (
+                NamedSharding(mesh, target_spec)
+                if target_spec is not None
+                else self._sharding
+            )
         self.params = None
         self.opt_state = None
         self._warned_ragged = False
@@ -246,6 +260,11 @@ class Trainer:
     def _device_put(self, arr):
         if self._sharding is not None:
             return jax.device_put(arr, self._sharding)
+        return jnp.asarray(arr)
+
+    def _device_put_target(self, arr):
+        if self._target_sharding is not None:
+            return jax.device_put(arr, self._target_sharding)
         return jnp.asarray(arr)
 
     # ------------------------------------------------------------------ API
@@ -348,7 +367,7 @@ class Trainer:
                             )
                         continue
                 xb = self._device_put(np.asarray(xb))
-                yb = self._device_put(np.asarray(yb))
+                yb = self._device_put_target(np.asarray(yb))
                 self.params, self.opt_state, m = self._jit_train_step(
                     self.params, self.opt_state, xb, yb
                 )
@@ -424,7 +443,7 @@ class Trainer:
             m = self._jit_eval_step(
                 self.params,
                 self._device_put(np.asarray(xb)),
-                self._device_put(np.asarray(yb)),
+                self._device_put_target(np.asarray(yb)),
             )
             for k, v in m.items():
                 out.setdefault(k, []).append(np.asarray(v))

@@ -70,3 +70,26 @@ class TestCNNGolden:
         np.testing.assert_allclose(
             np.asarray(x), golden["cnn_roll5"], atol=1e-10
         )
+
+
+class TestConvLSTMFlagshipGolden:
+    def test_3_step_rollout(self, golden):
+        """The canonical ConvLSTM-front-end flagship (reference
+        train.py:142-221 configuration via __graft_entry__._flagship) rolled
+        3 steps with insolation-persisting feedback, in float64."""
+        from __graft_entry__ import _flagship
+
+        model, params0, _ = _flagship(nlat=8, nlon=16, convlstm=True)
+        # Rebuild the pinned f64 parameter tree: same structure as a fresh
+        # init, leaves restored in tree-flatten order.
+        treedef = jax.tree_util.tree_structure(params0)
+        n = len(jax.tree_util.tree_leaves(params0))
+        leaves = [jnp.asarray(golden[f"convlstm_param_{i}"]) for i in range(n)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        x = jnp.asarray(golden["convlstm_x0"])
+        for _ in range(3):
+            pred = model.apply(params, x)
+            x = jnp.concatenate([pred, x[:, :, 2:3]], axis=2)
+        np.testing.assert_allclose(
+            np.asarray(x), golden["convlstm_roll3"], atol=1e-10
+        )

