@@ -61,13 +61,9 @@ class TimeSeriesEstimator:
     """
 
     def __init__(self, model, sampler: SeriesSampler):
-        if sampler._interval != 1:
-            raise NotImplementedError(
-                "TimeSeriesEstimator requires interval=1 (as the reference "
-                "effectively does for iterated forecasts)"
-            )
         self.model = model
         self.sampler = sampler
+        self._k = int(sampler._interval)
         self._in_ts = sampler._in_ts
         self._out_ts = sampler._out_ts
         in_names = list(sampler._input_names)
@@ -95,12 +91,29 @@ class TimeSeriesEstimator:
         self._lon = np.asarray(data.lon)
 
     # ------------------------------------------------------------------- API
-    def predict(self, steps: int, samples=(), unscale: bool = False) -> Forecast:
+    def predict(
+        self,
+        steps: int,
+        samples=(),
+        unscale: bool = False,
+        prefer_first_times: bool = True,
+    ) -> Forecast:
         """Run ``steps`` model iterations (each producing out_ts time steps).
 
         Returns a Forecast of shape
         (steps * out_ts, n_samples, C_out, H, W); ``unscale`` applies the
         predictor file's stored mean/std to return physical units.
+
+        Window advance follows the reference (extensions.py:160-172,
+        220-253): per iteration the input window shifts forward by
+        ``es + interval - 1`` data steps, where ``es = out_ts`` when
+        ``out_ts <= in_ts`` (kept inputs slide), else ``es = in_ts``
+        (``prefer_first_times``: seed the next window from the first in_ts
+        predicted times) or ``es = out_ts`` (from the last in_ts). Each next
+        window slot is sourced from the prediction when that (channel, time)
+        was predicted, from the previous window where it overlaps, from
+        freshly computed insolation for 'SOL', and from the mean state
+        otherwise (extensions.py:231-233).
         """
         steps = int(steps)
         if steps < 1:
@@ -123,6 +136,7 @@ class TimeSeriesEstimator:
         )  # (C_in, H, W)
 
         in_ts, out_ts = self._in_ts, self._out_ts
+        k = self._k
         dt_hours = self._dt_hours
         lat = jnp.asarray(self._lat)
         lon = jnp.asarray(self._lon)
@@ -131,6 +145,28 @@ class TimeSeriesEstimator:
         params = self.model.trainer.params
         apply_fn = self.model.trainer.model.apply
         n_out = len(self._output_names)
+
+        # Effective advance per model iteration (extensions.py:160-172).
+        if out_ts <= in_ts:
+            es = out_ts
+        else:
+            es = in_ts if prefer_first_times else out_ts
+        adv = es + k - 1  # window start moves this many data steps
+
+        # Static source map per next-window slot m:
+        #   predicted output index j(m) (or None), previous-window slot
+        #   m + adv (or None if out of range).
+        def out_index(m):
+            j = m - in_ts + out_ts if out_ts <= in_ts else (
+                m if prefer_first_times else m + out_ts - in_ts
+            )
+            return j if 0 <= j < out_ts else None
+
+        slot_plan = []
+        for m in range(in_ts):
+            j = out_index(m)
+            prev = m + adv if (j is None and m + adv < in_ts) else None
+            slot_plan.append((j, prev))
 
         def model_step(x):
             if is_recurrent:
@@ -141,29 +177,33 @@ class TimeSeriesEstimator:
             return pred.reshape(B, out_ts, n_out, H, W)
 
         def build_next(x, pred, it):
-            # Valid-time day-of-year for each new step, per sample.
-            k = jnp.arange(out_ts, dtype=x0.dtype)
-            offsets = (it * out_ts + k + 1.0) * (dt_hours / 24.0)  # (out_ts,)
-            days = init_days[:, None] + offsets[None, :]  # (B, out_ts)
-            channels = []
+            # Day-of-year of next-window slot m, relative to the init time
+            # (the last input step of window 0): raw offset
+            # (it+1)*adv + m - (in_ts - 1).
+            m_idx = jnp.arange(in_ts, dtype=x0.dtype)
+            offs = ((it + 1.0) * adv + m_idx - (in_ts - 1.0)) * (dt_hours / 24.0)
+            days = init_days[:, None] + offs[None, :]  # (B, in_ts)
             sol = None
-            for kind, idx in sources:
-                if kind == "pred":
-                    channels.append(pred[:, :, idx])
-                elif kind == "sol":
-                    if sol is None:
-                        sol = insolation(days.reshape(-1), lat, lon).reshape(
-                            B, out_ts, H, W
+            slots = []
+            for m, (j, prev) in enumerate(slot_plan):
+                channels = []
+                for c, (kind, idx) in enumerate(sources):
+                    if kind == "sol":
+                        if sol is None:
+                            sol = insolation(
+                                days.reshape(-1), lat, lon
+                            ).reshape(B, in_ts, H, W)
+                        channels.append(sol[:, m])
+                    elif kind == "pred" and j is not None:
+                        channels.append(pred[:, j, idx])
+                    elif prev is not None:
+                        channels.append(x[:, prev, c])
+                    else:
+                        channels.append(
+                            jnp.broadcast_to(mean_state[c], (B, H, W))
                         )
-                    channels.append(sol)
-                else:
-                    channels.append(
-                        jnp.broadcast_to(
-                            mean_state[idx], (B, out_ts, H, W)
-                        )
-                    )
-            new = jnp.stack(channels, axis=2).astype(x.dtype)  # (B, out_ts, C_in, H, W)
-            return jnp.concatenate([x, new], axis=1)[:, -in_ts:]
+                slots.append(jnp.stack(channels, axis=1))  # (B, C_in, H, W)
+            return jnp.stack(slots, axis=1).astype(x.dtype)
 
         def scan_body(x, it):
             pred = model_step(x)
@@ -187,7 +227,11 @@ class TimeSeriesEstimator:
             mean = s.data.mean[out_idx][:, None, None]
             std = s.data.std[out_idx][:, None, None]
             preds = preds * std + mean
-        f_hour = (np.arange(steps * out_ts) + 1) * dt_hours
+        # f_hour of output (it, j): window start it*adv, first output at
+        # raw offset in_ts + k - 1 + j; relative to init time in_ts - 1.
+        its = np.repeat(np.arange(steps), out_ts)
+        js = np.tile(np.arange(out_ts), steps)
+        f_hour = (its * adv + k + js) * dt_hours
         return Forecast(
             values=preds,
             f_hour=f_hour,

@@ -142,6 +142,91 @@ class TestTimeSeriesEstimator:
         expect = fc_scaled.values * ds.std[:, None, None] + ds.mean[:, None, None]
         np.testing.assert_allclose(fc_phys.values, expect, rtol=1e-5)
 
+    def test_interval_stride(self):
+        """interval=2: the input/output gap is one extra data step; the
+        rollout feeds whole states back and f_hour advances accordingly
+        (reference extensions.py:220-224 sample arithmetic)."""
+        ds = make_series(n=30)
+        model, sampler = self._fit_model(ds, interval=2)
+        est = TimeSeriesEstimator(model, sampler)
+        fc = est.predict(3, samples=[0, 1])
+        # f_hour(it, 0) = (it*adv + k)*dt with es=1, k=2 -> adv=2: 12,24,36 h.
+        np.testing.assert_array_equal(fc.f_hour, [12, 24, 36])
+        # Matched I/O: window = prediction each step, so values must equal
+        # repeated model application regardless of interval.
+        p, _ = sampler.generate([0, 1])
+        cur = p
+        for step in range(3):
+            cur = model.predict(cur)
+            np.testing.assert_allclose(
+                fc.values[step], cur, rtol=2e-4, atol=1e-5
+            )
+
+    def test_output_exceeds_input_time_steps(self):
+        """out_ts > in_ts (reference extensions.py:165-172): the next window
+        is seeded from the first (prefer_first_times) or last in_ts
+        predicted steps."""
+        ds = make_series(n=30)
+        model = DLWPNeuralNet(time_dim=1, scaler_type=None)
+        sampler = SeriesSampler(
+            ds, model=model, input_time_steps=1, output_time_steps=2,
+            batch_size=8,
+        )
+        c_out = sampler.output_convolution_shape[0]
+        model.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c_out, 3), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        est = TimeSeriesEstimator(model, sampler)
+        for prefer_first, sel in [(True, slice(0, 2)), (False, slice(2, 4))]:
+            fc = est.predict(2, samples=[0, 1], prefer_first_times=prefer_first)
+            assert fc.values.shape == (4, 2, 2, 9, 18)
+            # Manual loop: predict gives 2 steps (4 channels); next input is
+            # the first (or last) predicted step.
+            p, _ = sampler.generate([0, 1])
+            pred1 = model.predict(p)  # (B, 2*2, H, W)
+            np.testing.assert_allclose(
+                fc.values[0], pred1[:, :2], rtol=2e-4, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                fc.values[1], pred1[:, 2:], rtol=2e-4, atol=1e-5
+            )
+            nxt = pred1[:, sel]
+            pred2 = model.predict(nxt)
+            np.testing.assert_allclose(
+                fc.values[2], pred2[:, :2], rtol=2e-4, atol=1e-5
+            )
+        # f_hour: prefer_first -> es=in_ts=1, adv=1: [6,12,12,18].
+        fc = est.predict(2, samples=[0], prefer_first_times=True)
+        np.testing.assert_array_equal(fc.f_hour, [6, 12, 12, 18])
+
+    def test_interval_with_kept_inputs_imputes_stale_slots(self):
+        """out_ts < in_ts with interval > 1: window slots that are neither
+        predicted nor carried from the previous window fall back to the mean
+        state (the reference reindexes to missing and imputes,
+        extensions.py:228-233)."""
+        ds = make_series(n=40)
+        model = DLWPNeuralNet(time_dim=2, scaler_type=None)
+        sampler = SeriesSampler(
+            ds, model=model, input_time_steps=2, output_time_steps=1,
+            interval=3, batch_size=8,
+        )
+        c_out = sampler.output_convolution_shape[0]
+        model.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c_out, 3), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        est = TimeSeriesEstimator(model, sampler)
+        fc = est.predict(2, samples=[0, 1])
+        assert fc.values.shape == (2, 2, 2, 9, 18)
+        assert np.isfinite(fc.values).all()
+        # adv = es + k - 1 = 3; slot 0 has j=None and 0+3 >= in_ts=2 -> mean.
+        np.testing.assert_array_equal(fc.f_hour, [18, 36])
+
 
 class TestVerifyACC:
     def test_perfect_forecast_acc_one(self):
