@@ -214,14 +214,35 @@ class CFSReanalysis:
             if not os.path.exists(local):
                 warnings.warn(f"missing GRIB {local}; skipping")
                 continue
+            # Authoritative identification by the GRIB2 numeric triple
+            # (discipline, parameterCategory, parameterNumber) from the NCEP
+            # code tables (reference matches the same triple via its csv
+            # table, cfsr.py:455-459); shortName is only a fallback for
+            # parameters missing from the registry.
+            from dlwp_tpu.data.grib_params import lookup
+
+            codes = {}
+            for v in data:
+                p = lookup(v)
+                if p is not None and p.level_kind == "pl":
+                    codes[(p.discipline, p.category, p.number)] = v
             grbs = pygrib.open(local)
             for msg in grbs:
                 try:
-                    v = msg.shortName
                     lev = msg.level
+                    if msg.typeOfLevel != "isobaricInhPa":
+                        continue
+                    triple = (
+                        int(msg.discipline),
+                        int(msg.parameterCategory),
+                        int(msg.parameterNumber),
+                    )
+                    v = codes.get(triple)
+                    if v is None and msg.shortName in data:
+                        v = msg.shortName  # fallback: decoder metadata
                 except Exception:
                     continue
-                if v in data and lev in levels and msg.typeOfLevel == "isobaricInhPa":
+                if v is not None and lev in levels:
                     j = levels.index(lev)
                     data[v][i, j] = msg.values
                     if lat is None:

@@ -303,3 +303,48 @@ class TestCFSPlot:
         cfs.open([(2000, 1)])
         ax = cfs.plot("HGT", 500)
         assert ax is not None
+
+
+class TestGribParams:
+    def test_default_pressure_level_set(self):
+        """The canonical CFS pl variables resolve to their NCEP GRIB2 code
+        triples (reference cfsr_pgb_grib_table.csv identities)."""
+        from dlwp_tpu.data.grib_params import lookup
+
+        expect = {
+            "HGT": (0, 3, 5), "TMP": (0, 0, 0), "UGRD": (0, 2, 2),
+            "VGRD": (0, 2, 3), "VVEL": (0, 2, 8), "SPFH": (0, 1, 0),
+            "RH": (0, 1, 1), "ABSV": (0, 2, 10), "STRM": (0, 2, 4),
+            "CLWMR": (0, 1, 22), "GPA": (0, 3, 9), "5WAVH": (0, 3, 193),
+        }
+        for name, triple in expect.items():
+            p = lookup(name)
+            assert p is not None, name
+            assert (p.discipline, p.category, p.number) == triple, name
+            assert p.level_kind == "pl", name
+
+    def test_spelling_variants(self):
+        from dlwp_tpu.data.grib_params import lookup
+
+        # Reference-table spellings with spaces, and pygrib shortNames.
+        assert lookup("U GRD") == lookup("UGRD") == lookup("u")
+        assert lookup("R H") == lookup("RH") == lookup("r")
+        assert lookup("gh") == lookup("HGT")
+        assert lookup("P WAT").level_kind == "108"
+        # Exotic variables the shortName-only matcher would drop.
+        assert lookup("SEAI") is not None
+        assert lookup("SEAI").discipline == 10
+        assert lookup("5WAVA") is not None
+        assert lookup("NOT_A_VAR") is None
+
+    def test_registry_covers_reference_breadth(self):
+        """Every discipline/category block of the reference's 97-row table
+        is represented (sampled per block)."""
+        from dlwp_tpu.data.grib_params import GRIB2_PARAMS
+
+        blocks = {(p.discipline, p.category) for p in GRIB2_PARAMS.values()}
+        for block in [(0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+                      (0, 6), (0, 7), (0, 14), (0, 19), (1, 0), (2, 0),
+                      (2, 3), (10, 2)]:
+            assert block in blocks, block
+        assert len(GRIB2_PARAMS) >= 90
