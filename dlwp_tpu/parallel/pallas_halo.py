@@ -31,19 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _halo_kernel(
-    x_ref, out_ref, send_sem, recv_sem, local_sem,
+    x_ref, bot_rows, top_rows, out_top, out_center, out_bot,
+    send_sem, recv_sem, local_sem,
     *, top: int, bot: int, axis_name: str, data_axis: str | None,
 ):
+    """All DMAs copy WHOLE refs: Mosaic requires sliced memrefs to be
+    lane-tile-aligned (128), which arbitrary nlon (e.g. the canonical 144)
+    is not, so the edge slabs are pre-sliced by XLA (``bot_rows`` /
+    ``top_rows`` inputs) and the padded output is split into three refs
+    concatenated by XLA afterwards."""
     my = lax.axis_index(axis_name)
     n = jnp.int32(lax.psum(1, axis_name))
-    H = x_ref.shape[-2]
 
-    # Center block: local DMA into the interior of the padded output.
-    center = pltpu.make_async_copy(
-        x_ref,
-        out_ref.at[:, :, pl.ds(top, H), :],
-        local_sem,
-    )
+    # Center block: local whole-ref DMA.
+    center = pltpu.make_async_copy(x_ref, out_center, local_sem)
     center.start()
 
     if data_axis is not None:
@@ -56,8 +57,8 @@ def _halo_kernel(
 
     # My bottom rows -> southern neighbor's top halo.
     down = pltpu.make_async_remote_copy(
-        src_ref=x_ref.at[:, :, pl.ds(H - top, top), :],
-        dst_ref=out_ref.at[:, :, pl.ds(0, top), :],
+        src_ref=bot_rows,
+        dst_ref=out_top,
         send_sem=send_sem.at[0],
         recv_sem=recv_sem.at[0],
         device_id=dev_down,
@@ -65,8 +66,8 @@ def _halo_kernel(
     )
     # My top rows -> northern neighbor's bottom halo.
     up = pltpu.make_async_remote_copy(
-        src_ref=x_ref.at[:, :, pl.ds(0, bot), :],
-        dst_ref=out_ref.at[:, :, pl.ds(top + H, bot), :],
+        src_ref=top_rows,
+        dst_ref=out_bot,
         send_sem=send_sem.at[1],
         recv_sem=recv_sem.at[1],
         device_id=dev_up,
@@ -90,16 +91,27 @@ def _pallas_halo_local(
     block (B, C, top + H + bot, W) with wrap halos still in place."""
     top, bot = halo
     B, C, H, W = x.shape
-    out_shape = jax.ShapeDtypeStruct((B, C, top + H + bot, W), x.dtype)
+    if top == 0 and bot == 0:
+        return x
+    # Zero-extent DMA refs are not representable: exchange at least one row
+    # per direction and crop the unneeded ones after the concat.
+    t_eff, b_eff = max(top, 1), max(bot, 1)
+    bot_rows = x[:, :, H - t_eff :, :]  # what the south neighbor needs
+    top_rows = x[:, :, :b_eff, :]  # what the north neighbor needs
+    out_shape = (
+        jax.ShapeDtypeStruct((B, C, t_eff, W), x.dtype),
+        jax.ShapeDtypeStruct((B, C, H, W), x.dtype),
+        jax.ShapeDtypeStruct((B, C, b_eff, W), x.dtype),
+    )
     kernel = partial(
-        _halo_kernel, top=top, bot=bot, axis_name=axis_name,
+        _halo_kernel, top=t_eff, bot=b_eff, axis_name=axis_name,
         data_axis=data_axis,
     )
-    return pl.pallas_call(
+    o_top, o_center, o_bot = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -107,7 +119,11 @@ def _pallas_halo_local(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(x)
+    )(x, bot_rows, top_rows)
+    # Crop over-exchanged rows when a halo side is 0.
+    return jnp.concatenate(
+        [o_top[:, :, t_eff - top :], o_center, o_bot[:, :, :bot]], axis=-2
+    )
 
 
 def pallas_halo_exchange_lat(

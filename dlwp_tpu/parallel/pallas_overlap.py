@@ -20,14 +20,17 @@ sublane-tile-aligned slices on the tiled dims). The public wrapper
 transposes from the framework's (B, C, H, W).
 
 Scope: 3x3 kernels, stride 1, zero latitude boundary (the reference's
-canonical configuration, train.py:152-158); nlon % 128 == 0 on hardware
-(Mosaic lane-roll constraint; general widths use the halo-DMA + XLA-conv
-path); the local block must fit in VMEM.
+canonical configuration, train.py:152-158). Any nlon, including the
+canonical 144 (cfsr.py:116-118): all DMAs copy whole refs because Mosaic
+rejects memref slices whose lane extent is not 128-aligned, and lane rolls
+at arbitrary widths verify on current toolchains. Batches are chunked so
+each block fits VMEM.
 
-Measured (TPU v5e, 1 chip, (8, 32, 40, 256) fp32): 0.81 ms vs 0.77 ms for
-the XLA conv -- the in-kernel MXU stencil is at parity single-chip, and on
-a multi-chip mesh the halo DMA latency is additionally hidden behind
-interior compute. Exactness: 1.4e-6 vs the oracle (fp32). Interpret-mode
+Measured (TPU v5e, 1 chip): at (8, 32, 40, 256) fp32, 0.81 ms vs 0.77 ms
+for the XLA conv; at the canonical (8, 32, 36, 144) the kernel verifies to
+2e-7 relative on a degenerate (data=1, lat=1) 2-D MESH (exercising the
+device-id addressing) at XLA-conv parity. On a multi-chip mesh the halo
+DMA latency is additionally hidden behind interior compute. Interpret-mode
 tests validate the multi-shard exchange on an 8-device mesh.
 """
 
@@ -68,12 +71,23 @@ def _row_conv(r_above, r_center, r_below, kmats):
 
 
 def _overlap_kernel(
-    x_hbm, k_ref, y_ref, x_vmem, halo_ref, send_sem, recv_sem, local_sem,
+    x_hbm, edges_hbm, k_ref, y_ref, x_vmem, halo_n, halo_s,
+    send_sem, recv_sem, local_sem,
     *, axis_name: str, data_axis: str | None,
 ):
-    """x_hbm (H, B, C, W) in ANY/HBM (so single-row halo DMAs escape VMEM
-    tile-alignment constraints at arbitrary W); x_vmem mirror for compute;
-    y (H, B, O, W) VMEM; halo scratch (2, B, C, W) VMEM."""
+    """x_hbm (H, B, C, W) and edges_hbm (2, B, C, W; my top/bottom rows,
+    pre-sliced by XLA) live in HBM; y (H, B, O, W) is a VMEM out-operand
+    (XLA-visible operands draw on the 128M vmem pool, while kernel
+    *scratch* is capped by the 16M scoped-vmem limit -- hence the batch
+    chunking below); x_vmem is the VMEM compute mirror; halo_n / halo_s
+    (2, B, C, W) VMEM receive buffers.
+
+    Every DMA copies a WHOLE ref -- no memref slicing -- because Mosaic
+    requires sliced memrefs to be lane-tile-aligned (128), which the
+    canonical nlon=144 grid is not. Each device ships both its edge rows to
+    both neighbors (2x a tiny transfer) instead of slicing one row per
+    direction; receivers pick the row they need from VMEM.
+    """
     my = lax.axis_index(axis_name)
     n = jnp.int32(lax.psum(1, axis_name))
     H, B, C, W = x_hbm.shape
@@ -90,20 +104,20 @@ def _overlap_kernel(
         dev_down = lax.rem(my + 1, n)
         dev_up = lax.rem(my - 1 + n, n)
 
-    # 1. Whole-batch halo DMAs (HBM -> remote VMEM). My bottom row goes to
-    # my southern neighbor's slot 0 ("row above their block"); my top row to
-    # the northern neighbor's slot 1 ("row below their block").
+    # 1. Whole-ref edge DMAs. My edges go to the southern neighbor's
+    # "north" buffer (they use row 1 = my bottom) and to the northern
+    # neighbor's "south" buffer (they use row 0 = my top).
     down = pltpu.make_async_remote_copy(
-        src_ref=x_hbm.at[H - 1],
-        dst_ref=halo_ref.at[0],
+        src_ref=edges_hbm,
+        dst_ref=halo_n,
         send_sem=send_sem.at[0],
         recv_sem=recv_sem.at[0],
         device_id=dev_down,
         device_id_type=pltpu.DeviceIdType.MESH,
     )
     up = pltpu.make_async_remote_copy(
-        src_ref=x_hbm.at[0],
-        dst_ref=halo_ref.at[1],
+        src_ref=edges_hbm,
+        dst_ref=halo_s,
         send_sem=send_sem.at[1],
         recv_sem=recv_sem.at[1],
         device_id=dev_up,
@@ -131,8 +145,8 @@ def _overlap_kernel(
     up.wait()
 
     def edges(b, _):
-        north = jnp.where(my == 0, 0.0, halo_ref[0, b])
-        south = jnp.where(my == n - 1, 0.0, halo_ref[1, b])
+        north = jnp.where(my == 0, 0.0, halo_n[1, b])
+        south = jnp.where(my == n - 1, 0.0, halo_s[0, b])
         y_ref[0, b] = _row_conv(north, x_vmem[0, b], x_vmem[1, b], kmats)
         y_ref[H - 1, b] = _row_conv(
             x_vmem[H - 2, b], x_vmem[H - 1, b], south, kmats
@@ -142,36 +156,65 @@ def _overlap_kernel(
     lax.fori_loop(0, B, edges, 0)
 
 
+# Kernel scratch (x mirror + halo buffers) is capped by the 16M scoped-vmem
+# limit; XLA-visible VMEM operands (y out) draw on the 128M pool.
+_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
 def _overlap_local(x, kernel, axis_name, data_axis, interpret=False):
-    """Per-shard overlapped stencil (inside shard_map); x is (B, C, H, W)."""
+    """Per-shard overlapped stencil (inside shard_map); x is (B, C, H, W).
+
+    Large batches are chunked so the VMEM-resident block (input mirror +
+    output + halo buffers) fits the budget; every chunk performs its own
+    symmetric halo exchange, so all devices execute the same DMA sequence.
+    """
     B, C, H, W = x.shape
     O = kernel.shape[0]
     assert kernel.shape[-2:] == (3, 3), "overlap kernel supports 3x3 only"
     assert H >= 2, "need at least 2 local rows"
-    if W % 128 and not interpret:
-        # Mosaic lane rolls require 128-aligned widths on hardware; the
-        # general-W path is pallas_sharded_cyclic_conv2d (halo DMA + XLA
-        # conv) or the ppermute sharded_cyclic_conv2d.
-        raise ValueError(
-            f"overlapped_cyclic_conv2d requires nlon % 128 == 0 on TPU "
-            f"(got {W}); use pallas_sharded_cyclic_conv2d instead"
-        )
+    # Any W: Mosaic lane rolls at non-128-multiple widths (e.g. the
+    # canonical nlon=144 grid, cfsr.py:116-118) compile and verify on
+    # current toolchains (validated on v5e hardware; round 1's W % 128
+    # restriction is obsolete). VMEM layouts pad W up to the 128 lane tile.
+    w_pad = -(-W // 128) * 128
+    scratch_per_sample = (H * C + 4 * C) * w_pad * 4
+    total_per_sample = (H * (C + O) + 4 * C) * w_pad * 4
+    max_b = max(1, min(
+        _SCOPED_VMEM_BUDGET // max(scratch_per_sample, 1),
+        _VMEM_BUDGET_BYTES // max(total_per_sample, 1),
+    ))
+    if B > max_b:
+        n_chunks = -(-B // max_b)
+        size = -(-B // n_chunks)
+        outs = [
+            _overlap_local(
+                x[i : i + size], kernel, axis_name, data_axis, interpret
+            )
+            for i in range(0, B, size)
+        ]
+        return jnp.concatenate(outs, axis=0)
     # (O, C, dy, dx) -> (dx, O, 3C) with columns ordered [dy, c].
     kmat = jnp.transpose(
         jnp.transpose(kernel, (3, 2, 1, 0)).reshape(3, 3 * C, O), (0, 2, 1)
     )
     kern = partial(_overlap_kernel, axis_name=axis_name, data_axis=data_axis)
-    xt = jnp.transpose(x, (2, 0, 1, 3))  # (H, B, C, W)
+    xt = jnp.transpose(x, (2, 0, 1, 3)).astype(jnp.float32)  # (H, B, C, W)
+    edges = jnp.stack([xt[0], xt[H - 1]])  # (2, B, C, W), XLA-sliced
     yt = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((H, B, O, W), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # Pin to HBM: ANY lets XLA place small operands in scoped vmem,
+            # which has a 16M stack limit the staged block would blow.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H, B, C, W), jnp.float32),
+            pltpu.VMEM((2, B, C, W), jnp.float32),
             pltpu.VMEM((2, B, C, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -179,7 +222,7 @@ def _overlap_local(x, kernel, axis_name, data_axis, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(xt.astype(jnp.float32), kmat.astype(jnp.float32))
+    )(xt, edges, kmat.astype(jnp.float32))
     return jnp.transpose(yt, (1, 2, 0, 3))  # (B, O, H, W)
 
 

@@ -38,9 +38,11 @@ class SpatialSharding:
             ``data_axis``).
         data_axis: mesh axis for batch sharding, or None for pure spatial.
         lat_axis: mesh axis the latitude dimension is sharded over.
-        impl: 'ppermute' (portable XLA collectives) or 'pallas' (explicit
-            ICI remote-DMA halo kernel; TPU, or interpret mode on 1-D CPU
-            meshes).
+        impl: 'ppermute' (portable XLA collectives), 'pallas' (explicit
+            ICI remote-DMA halo kernel + XLA conv), or 'overlap' (single
+            Pallas kernel computing the interior stencil on the MXU while
+            the halo DMAs fly; 3x3 undilated convs only, others fall back
+            to 'pallas' semantics). TPU, or interpret mode on CPU meshes.
         interpret: run Pallas kernels in interpret mode (CPU testing).
 
     Hashable/frozen so flax modules can carry it as a static field.
@@ -90,8 +92,8 @@ class SpatialSharding:
         halo = max(eh // 2, eh - eh // 2)
         if halo > H // self.lat_shards:
             return False
-        if self.impl == "pallas" and dilation != (1, 1):
-            return False  # the Pallas halo kernel is undilated
+        if self.impl in ("pallas", "overlap") and dilation != (1, 1):
+            return False  # the Pallas halo kernels are undilated
         return True
 
     def conv(
@@ -108,7 +110,14 @@ class SpatialSharding:
                 x, kernel, strides=strides, lat_mode=lat_mode, dilation=dilation
             )
         spec = self.activation_spec(x.ndim)
-        if self.impl == "pallas":
+        if self.impl == "overlap" and kernel.shape[-2:] == (3, 3) and x.ndim == 4:
+            from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
+
+            return overlapped_cyclic_conv2d(
+                x, kernel, self.mesh, data_axis=self.data_axis,
+                lat_axis_name=self.lat_axis, interpret=self.interpret,
+            )
+        if self.impl in ("pallas", "overlap"):
             from dlwp_tpu.parallel.pallas_halo import pallas_halo_exchange_lat
             from dlwp_tpu.ops.padding import pad_periodic
             from jax import lax

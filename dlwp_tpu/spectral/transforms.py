@@ -65,6 +65,11 @@ class SphericalHarmonics:
     grid: LatLonGrid
     truncation: int
     dtype: jnp.dtype
+    # Matmul precision for the Legendre contractions. TPU lowers fp32
+    # matmuls to reduced-precision MXU passes by default; 'highest' forces
+    # full fp32 accumulation (6-pass), taking fp32 round trips from ~4e-5
+    # to ~1e-6 at T170 for ~2x contraction cost (see BASELINE.md).
+    precision: object
     # Device-resident constant tables (all shaped [m, j, n] or [m, n]):
     P: jax.Array  # synthesis table
     A: jax.Array  # scalar analysis (WLS left inverse), [m, n, j]
@@ -87,6 +92,7 @@ class SphericalHarmonics:
         grid: LatLonGrid,
         truncation: int | None = None,
         dtype=jnp.float32,
+        precision=None,
     ) -> "SphericalHarmonics":
         if truncation is None:
             truncation = grid.nlon // 3  # reference model.py:46 suggestion
@@ -169,6 +175,7 @@ class SphericalHarmonics:
             grid=grid,
             truncation=T,
             dtype=jnp.dtype(dtype),
+            precision=precision,
             P=f(tab.P),
             A=f(A),
             G=f(tab.G),
@@ -220,12 +227,12 @@ class SphericalHarmonics:
         if not jnp.iscomplexobj(spec):
             return jnp.einsum(
                 "mjn,...mn->...mj", table, spec,
-                preferred_element_type=self.dtype,
+                preferred_element_type=self.dtype, precision=self.precision,
             )
         ri = jnp.stack([spec.real, spec.imag])  # (2, ..., m, n)
         out = jnp.einsum(
             "mjn,k...mn->k...mj", table, ri.astype(self.dtype),
-            preferred_element_type=self.dtype,
+            preferred_element_type=self.dtype, precision=self.precision,
         )
         return jax.lax.complex(out[0], out[1])
 
@@ -234,12 +241,12 @@ class SphericalHarmonics:
         if not jnp.iscomplexobj(Fm):
             return jnp.einsum(
                 "mnj,...mj->...mn", table, Fm,
-                preferred_element_type=self.dtype,
+                preferred_element_type=self.dtype, precision=self.precision,
             )
         ri = jnp.stack([Fm.real, Fm.imag])
         out = jnp.einsum(
             "mnj,k...mj->k...mn", table, ri.astype(self.dtype),
-            preferred_element_type=self.dtype,
+            preferred_element_type=self.dtype, precision=self.precision,
         )
         return jax.lax.complex(out[0], out[1])
 
@@ -371,7 +378,7 @@ class SphericalHarmonics:
         ri = jnp.stack([spec.real, spec.imag])
         out = jnp.einsum(
             "mnk,h...mk->h...mn", op, ri.astype(self.dtype),
-            preferred_element_type=self.dtype,
+            preferred_element_type=self.dtype, precision=self.precision,
         )
         return jax.lax.complex(out[0], out[1])
 
