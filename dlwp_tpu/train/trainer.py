@@ -198,6 +198,7 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self._warned_ragged = False
+        self._warned_unsharded_axis = False
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
         self._jit_eval_step = jax.jit(self._eval_step)
 
@@ -257,14 +258,48 @@ class Trainer:
             out[name] = fn(y, pred)
         return out
 
+    def _compatible_sharding(self, sharding, shape):
+        """Drop spec axes whose dimension does not divide the mesh axis
+        (e.g. a 37-lat grid over 4 lat shards), warning once -- the model's
+        spatial dispatch falls back consistently (SpatialSharding.shardable
+        applies the same divisibility check)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = tuple(sharding.spec)
+        spec = spec + (None,) * (len(shape) - len(spec))
+        fixed = []
+        changed = False
+        for dim, name in zip(shape, spec):
+            n = self.mesh.shape.get(name, 1) if name is not None else 1
+            if name is not None and dim % n:
+                fixed.append(None)
+                changed = True
+            else:
+                fixed.append(name)
+        if not changed:
+            return sharding
+        if not self._warned_unsharded_axis:
+            self._warned_unsharded_axis = True
+            warnings.warn(
+                f"array shape {tuple(shape)} does not divide the mesh along "
+                f"spec {spec}; leaving the non-dividing axes unsharded",
+                stacklevel=3,
+            )
+        return NamedSharding(self.mesh, PartitionSpec(*fixed))
+
     def _device_put(self, arr):
         if self._sharding is not None:
-            return jax.device_put(arr, self._sharding)
+            return jax.device_put(
+                arr, self._compatible_sharding(self._sharding, arr.shape)
+            )
         return jnp.asarray(arr)
 
     def _device_put_target(self, arr):
         if self._target_sharding is not None:
-            return jax.device_put(arr, self._target_sharding)
+            return jax.device_put(
+                arr,
+                self._compatible_sharding(self._target_sharding, arr.shape),
+            )
         return jnp.asarray(arr)
 
     # ------------------------------------------------------------------ API

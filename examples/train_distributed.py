@@ -62,13 +62,22 @@ def main(argv=None):
     sampler = SeriesSampler(data, model=dlwp, batch_size=args.batch_size,
                             shuffle=True)
     c = sampler.convolution_shape[0]
+    # With lat shards, the batch_spec also shards latitude bands and every
+    # spherical conv switches onto the explicit halo-exchange path
+    # (dlwp_tpu.parallel.spatial); with lat=1 this is plain data parallelism.
+    spec = (
+        P("data", None, "lat", None) if mesh.shape["lat"] > 1 else P("data")
+    )
     dlwp.build_model(
         [("CyclicConv2D", (32, 3), {"activation": "tanh"}),
          ("CyclicConv2D", (64, 3), {"activation": "tanh"}),
          ("CyclicConv2D", (c, 3), {})],
         mesh=mesh,
-        batch_spec=P("data"),  # data-parallel batch sharding
+        batch_spec=spec,
     )
+    if dlwp._spatial is not None:
+        print(f"spatial sharding: {mesh.shape['lat']} lat bands "
+              f"({dlwp._spatial.impl})")
     t0 = time.time()
     dlwp.fit_generator(sampler, epochs=args.epochs, verbose=True)
     print(f"Train time -- {time.time() - t0:.0f} seconds")

@@ -286,6 +286,30 @@ class TestDataParallelTraining:
             atol=1e-6,
         )
 
+    def test_indivisible_lat_axis_degrades_gracefully(self):
+        """A 37-lat grid over 4 lat shards cannot be spatially sharded;
+        device placement drops the lat axis (with one warning) instead of
+        crashing, and training proceeds data-parallel."""
+        require_devices(8)
+        import warnings as _warnings
+        from jax.sharding import PartitionSpec as P
+        from dlwp_tpu.models import DLWPNeuralNet
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        x = np.random.RandomState(0).randn(4, 2, 37, 72).astype(np.float32)
+        dlwp = DLWPNeuralNet(scaler_type=None)
+        dlwp.build_model(
+            [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (2, 3), {})],
+            mesh=mesh, batch_spec=P("data", None, "lat", None),
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            hist = dlwp.fit(x, x, epochs=1, batch_size=4, verbose=False)
+        assert np.isfinite(hist.history["loss"][0])
+        msgs = [w for w in caught if "non-dividing" in str(w.message)]
+        assert len(msgs) == 1
+
     def test_ragged_batch_warns_once(self):
         require_devices(8)
         import warnings as _warnings
