@@ -314,19 +314,114 @@ def resolve_layer(spec) -> nn.Module:
     return builder(*args, **kwargs)
 
 
-def build_sequential(specs: Sequence, spatial=None) -> "SequentialModel":
+def _peephole_fuse(layers: tuple) -> tuple:
+    """Fuse adjacent layer pairs that have cheaper fused forms, preserving
+    the parameter tree (pool/upsample layers carry no parameters, so a
+    fused layer takes the conv's slot and an Identity fills the other):
+
+    - CyclicConv2D(3x3, tanh, stride 1, zero lat) + MaxPool2D(2)
+      -> FusedConvPool2D (one Pallas kernel on TPU; the full-resolution
+         conv activation never reaches HBM);
+    - UpSampling2D(2) + CyclicConv2D(zero lat, stride 1)
+      -> UpConv2D (algebraic small-grid collapse, pure XLA).
+    """
+    from dlwp_tpu.models.layers import (
+        FusedConvPool2D,
+        Identity,
+        UpConv2D,
+    )
+
+    out = list(layers)
+    for i in range(len(out) - 1):
+        a, b = out[i], out[i + 1]
+        if (
+            isinstance(a, CyclicConv2D)
+            and isinstance(b, MaxPool2D)
+            and _pair(b.window) == (2, 2)
+            and _pair(a.kernel_size) == (3, 3)
+            and a.strides == (1, 1)
+            and a.lat_mode == "zero"
+            and a.activation == "tanh"
+            and a.spatial is None
+        ):
+            out[i] = FusedConvPool2D(
+                features=a.features,
+                kernel_size=a.kernel_size,
+                dilation=a.dilation,
+                activation=a.activation,
+                use_bias=a.use_bias,
+                dtype=a.dtype,
+            )
+            out[i + 1] = Identity()
+        elif (
+            isinstance(a, UpSampling2D)
+            and _pair(a.factor) == (2, 2)
+            and isinstance(b, CyclicConv2D)
+            and b.strides == (1, 1)
+            and b.lat_mode == "zero"
+            and b.spatial is None
+            and _pair(b.kernel_size)[0] == _pair(b.kernel_size)[1]
+        ):
+            out[i] = Identity()
+            out[i + 1] = UpConv2D(
+                features=b.features,
+                kernel_size=b.kernel_size,
+                dilation=b.dilation,
+                activation=b.activation,
+                use_bias=b.use_bias,
+                dtype=b.dtype,
+            )
+    # Second pass: a dilation-2 UpConv's output is itself an upsample of a
+    # small grid, so a following conv collapses too -- defer the upsample
+    # into the consumer (param slots unchanged).
+    for i in range(len(out) - 1):
+        a, b = out[i], out[i + 1]
+        if (
+            isinstance(a, UpConv2D)
+            and not a.emit_small
+            and _pair(a.dilation) == (2, 2)
+            and isinstance(b, CyclicConv2D)
+            and b.strides == (1, 1)
+            and b.lat_mode == "zero"
+            and b.spatial is None
+            and _pair(b.kernel_size)[0] == _pair(b.kernel_size)[1]
+            and _pair(b.kernel_size)[0] <= 5
+            and _pair(b.dilation) in ((1, 1), (2, 2))
+        ):
+            out[i] = a.clone(emit_small=True)
+            out[i + 1] = UpConv2D(
+                features=b.features,
+                kernel_size=b.kernel_size,
+                dilation=b.dilation,
+                activation=b.activation,
+                use_bias=b.use_bias,
+                dtype=b.dtype,
+                input_small=True,
+            )
+    return tuple(out)
+
+
+def build_sequential(
+    specs: Sequence, spatial=None, fuse: bool = True
+) -> "SequentialModel":
     """Build a SequentialModel from a list of specs (reference
     ``build_model`` layer-tuple semantics, models.py:63-103).
 
     ``spatial``: optional
     :class:`~dlwp_tpu.parallel.spatial.SpatialSharding`; attached to every
     layer that supports it so convs run the explicit lat-band sharded path.
+
+    ``fuse``: apply the parameter-preserving peephole fusions
+    (:func:`_peephole_fuse`) -- conv+pool and upsample+conv pairs collapse
+    into fused layers with identical parameter trees and equivalent math.
     """
     layers = tuple(resolve_layer(s) for s in specs)
     if spatial is not None:
         from dlwp_tpu.parallel.spatial import attach_spatial
 
         layers = tuple(attach_spatial(l, spatial) for l in layers)
+    if fuse:
+        layers = _peephole_fuse(layers)
     return SequentialModel(layers=layers)
 
 

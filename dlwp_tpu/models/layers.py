@@ -227,6 +227,134 @@ class ConvLSTM2D(nn.Module):
         return h_last
 
 
+class Identity(nn.Module):
+    """No-op placeholder (keeps layer indices stable under peephole
+    fusion in :func:`dlwp_tpu.models.cnn.build_sequential`)."""
+
+    def __call__(self, x):
+        return x
+
+
+class FusedConvPool2D(nn.Module):
+    """CyclicConv2D(3x3) + activation + MaxPool2D(2), fused.
+
+    With ``use_pallas=True`` the chain runs as one Pallas kernel
+    (:func:`dlwp_tpu.ops.fused_stages.fused_conv_pool`) that never writes
+    the full-resolution conv activation to HBM. Measured on v5e this
+    LOSES today (flagship rollout 177 vs 519 Mgp/s): the per-row
+    (O, 3C) x (3C, W/2) matmuls are far too small for the MXU and the
+    scoped-vmem limit forces many small batch chunks -- so the default is
+    the XLA composition, which the peephole fusion still benefits from via
+    the upsample collapse. Parameter names/shapes match ``CyclicConv2D``
+    so peephole fusion preserves checkpoints.
+
+    The fused kernel maxes raw conv outputs before the (monotone)
+    activation, which is exact for any nondecreasing activation.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    dilation: int | tuple[int, int] = 1
+    activation: str | Callable | None = "tanh"
+    use_bias: bool = True
+    dtype: Any = None
+    use_pallas: bool | None = None  # None: off (measured slower; see above)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        c_in = x.shape[-3]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (self.features, c_in, kh, kw),
+            self.dtype or x.dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.dtype or x.dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        dil = _pair(self.dilation)
+        use_pallas = bool(self.use_pallas)
+        act = get_activation(self.activation)
+        if (
+            use_pallas
+            and (kh, kw) == (3, 3)
+            and dil[0] == dil[1]
+            and self.activation == "tanh"
+            and x.ndim == 4
+            and x.shape[-1] % 2 == 0
+            and x.shape[-2] % 2 == 0
+            and jnp.dtype(x.dtype) == jnp.float32
+        ):
+            from dlwp_tpu.ops.fused_stages import fused_conv_pool
+
+            return fused_conv_pool(x, kernel, bias, dilation=dil[0])
+        y = cyclic_conv2d(x, kernel, dilation=dil)
+        if bias is not None:
+            y = y + bias[..., :, None, None]
+        return max_pool2d(act(y), (2, 2))
+
+
+class UpConv2D(nn.Module):
+    """UpSampling2D(2) + CyclicConv2D, fused algebraically.
+
+    Nearest-x2 upsampling collapses the following conv onto the small
+    grid (:func:`dlwp_tpu.ops.conv.conv_after_upsample2`), so the
+    full-resolution pre-conv activation never materializes. Parameter
+    names/shapes match ``CyclicConv2D``.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    dilation: int | tuple[int, int] = 1
+    activation: str | Callable | None = "linear"
+    use_bias: bool = True
+    dtype: Any = None
+    # Chain-fusion flags (set by the peephole pass): a dilation-2 UpConv's
+    # output is itself an upsample of a small grid, so a following conv can
+    # also collapse. ``emit_small`` keeps the output on the small grid (the
+    # consumer must be an UpConv2D with ``input_small``); ``input_small``
+    # treats the input as the small grid of a deferred upsample.
+    emit_small: bool = False
+    input_small: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from dlwp_tpu.ops.conv import conv_after_upsample2, cyclic_conv2d
+
+        kh, kw = _pair(self.kernel_size)
+        c_in = x.shape[-3]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (self.features, c_in, kh, kw),
+            self.dtype or x.dtype,
+        )
+        dil = _pair(self.dilation)
+        if self.emit_small:
+            # dilation-2 conv after x2 upsample == upsample(conv d1 small);
+            # emit the small grid and let the consumer fold the upsample.
+            assert dil == (2, 2)
+            y = cyclic_conv2d(x, kernel)
+        elif self.input_small:
+            # x is the small grid of a deferred upsample.
+            y = conv_after_upsample2(x, kernel, dilation=dil)
+        else:
+            y = conv_after_upsample2(x, kernel, dilation=dil)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.dtype or x.dtype,
+            )
+            y = y + bias[..., :, None, None]
+        return get_activation(self.activation)(y)
+
+
 class MaxPool2D(nn.Module):
     window: int | tuple[int, int] = 2
 

@@ -124,6 +124,75 @@ def cyclic_conv2d_edgefix(
     return y.reshape(batch_shape + y.shape[1:])
 
 
+def conv_after_upsample2(
+    a: jax.Array,
+    kernel: jax.Array,
+    dilation: tuple[int, int] = (1, 1),
+    precision=None,
+) -> jax.Array:
+    """``cyclic_conv2d(upsample2d(a, 2), kernel, dilation)`` without ever
+    materializing the upsampled grid.
+
+    Nearest-neighbor 2x upsampling makes adjacent rows/columns equal, so a
+    following conv collapses onto the small grid:
+
+    - dilation 2: the dilated taps always land on duplicated cells --
+      ``conv(up(a), k, dil=2) == up(conv(a, k, dil=1))`` exactly;
+    - dilation 1: output parity (row, col) selects which input taps share a
+      small-grid cell -- the conv decomposes into four small-grid 3x3 convs
+      with parity-combined kernels (tap a of the k x k kernel folds into
+      small tap floor((p + a)/2) for parity p), interleaved at the end.
+
+    Measured on the flagship tail (TPU v5e, batch 256; BASELINE.md): the
+    upsample -> conv chains cost ~1.3 ms of the 2.6 ms step unfused; this
+    rewrite removes the full-resolution intermediates entirely.
+
+    ``kernel`` is (O, C, kh, kw) with odd kh = kw <= 5; zero latitude
+    boundary, stride 1 (the tower configuration, train.py:159-218).
+    """
+    O, C, kh, kw = kernel.shape
+    dil = tuple(dilation) if not isinstance(dilation, int) else (dilation,) * 2
+    if dil == (2, 2):
+        from dlwp_tpu.ops.pooling import upsample2d
+
+        return upsample2d(
+            cyclic_conv2d(a, kernel, precision=precision), (2, 2)
+        )
+    if dil != (1, 1) or kh != kw or kh % 2 == 0 or kh > 5:
+        from dlwp_tpu.ops.pooling import upsample2d
+
+        return cyclic_conv2d(
+            upsample2d(a, (2, 2)), kernel, dilation=dil, precision=precision
+        )
+    c = (kh - 1) // 2
+    # Parity-combined 3x3 kernels: K_small[p][j] = sum of K[a] over taps a
+    # with floor((p + a)/2) == j (independently per axis).
+    outs = []
+    for pr in (0, 1):
+        row = []
+        for pc in (0, 1):
+            ks = jnp.zeros((O, C, 3, 3), kernel.dtype)
+            for ay in range(-c, c + 1):
+                jy = (pr + ay) // 2  # python floor division
+                for ax in range(-c, c + 1):
+                    jx = (pc + ax) // 2
+                    ks = ks.at[:, :, jy + 1, jx + 1].add(
+                        kernel[:, :, ay + c, ax + c]
+                    )
+            row.append(cyclic_conv2d(a, ks, precision=precision))
+        outs.append(row)
+    # Interleave columns then rows: y[..., 2r+pr, 2u+pc] = outs[pr][pc][r, u].
+    H, W = a.shape[-2], a.shape[-1]
+    lead = outs[0][0].shape[:-2]
+    rows = [
+        jnp.stack([outs[p][0], outs[p][1]], axis=-1).reshape(
+            lead + (H, 2 * W)
+        )
+        for p in (0, 1)
+    ]
+    return jnp.stack(rows, axis=-2).reshape(lead + (2 * H, 2 * W))
+
+
 def row_conv2d(
     x: jax.Array,
     weights: jax.Array,

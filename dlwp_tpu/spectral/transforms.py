@@ -66,9 +66,12 @@ class SphericalHarmonics:
     truncation: int
     dtype: jnp.dtype
     # Matmul precision for the Legendre contractions. TPU lowers fp32
-    # matmuls to reduced-precision MXU passes by default; 'highest' forces
-    # full fp32 accumulation (6-pass), taking fp32 round trips from ~4e-5
-    # to ~1e-6 at T170 for ~2x contraction cost (see BASELINE.md).
+    # matmuls to reduced-precision bf16 MXU passes under the DEFAULT
+    # precision, which costs 4 digits here: T170 fp32 round trips measure
+    # 3.1e-3 relative (vs 2.5e-7 at 'highest') while 'highest' is not
+    # measurably slower (3.30 vs 3.42 ms/round-trip on v5e -- the
+    # transforms are memory-bound). 'highest' is therefore the default;
+    # pass precision=None to trade accuracy for nothing.
     precision: object
     # Device-resident constant tables (all shaped [m, j, n] or [m, n]):
     P: jax.Array  # synthesis table
@@ -92,7 +95,7 @@ class SphericalHarmonics:
         grid: LatLonGrid,
         truncation: int | None = None,
         dtype=jnp.float32,
-        precision=None,
+        precision="highest",
     ) -> "SphericalHarmonics":
         if truncation is None:
             truncation = grid.nlon // 3  # reference model.py:46 suggestion

@@ -1,0 +1,103 @@
+"""Oracle tests for the fused full-resolution tower stages (interpret
+mode): each fused Pallas chain must match its unfused XLA composition."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlwp_tpu.ops.conv import conv_after_upsample2, cyclic_conv2d
+from dlwp_tpu.ops.pooling import max_pool2d, upsample2d
+from dlwp_tpu.ops.fused_stages import fused_conv_pool
+
+
+def rand(*shape, key=0, scale=1.0):
+    return jnp.asarray(
+        np.random.RandomState(key).randn(*shape).astype(np.float32) * scale
+    )
+
+
+class TestFusedConvPool:
+    @pytest.mark.parametrize("shape,dil", [
+        ((3, 6, 36, 144), 2),   # flagship entry stage
+        ((2, 5, 8, 16), 1),
+        ((1, 3, 12, 20), 2),
+    ])
+    def test_matches_unfused(self, shape, dil):
+        B, C, H, W = shape
+        x = rand(*shape, key=1)
+        k = rand(8, C, 3, 3, key=2, scale=0.2)
+        b = rand(8, key=3, scale=0.1)
+        fused = fused_conv_pool(x, k, b, dilation=dil, interpret=True)
+        oracle = max_pool2d(
+            jnp.tanh(
+                cyclic_conv2d(x, k, dilation=(dil, dil))
+                + b[:, None, None]
+            ),
+            (2, 2),
+        )
+        assert fused.shape == oracle.shape == (B, 8, H // 2, W // 2)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=2e-6
+        )
+
+    def test_batch_chunking(self, monkeypatch):
+        import dlwp_tpu.ops.fused_stages as fs
+
+        monkeypatch.setattr(fs, "_SCOPED_VMEM_BUDGET", 200_000)
+        x = rand(5, 3, 8, 16, key=4)
+        k = rand(4, 3, 3, 3, key=5, scale=0.2)
+        fused = fused_conv_pool(x, k, None, dilation=1, interpret=True)
+        oracle = max_pool2d(jnp.tanh(cyclic_conv2d(x, k)), (2, 2))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=2e-6
+        )
+
+
+class TestConvAfterUpsample2:
+    """conv_after_upsample2 must equal conv(upsample2(a)) exactly: the
+    algebraic collapse of nearest-x2 upsampling onto the small grid."""
+
+    @pytest.mark.parametrize("k,dil", [(3, 2), (3, 1), (5, 1), (5, 2)])
+    def test_matches_unfused(self, k, dil):
+        a = rand(2, 8, 18, 72, key=6)
+        kern = rand(12, 8, k, k, key=7, scale=0.15)
+        fused = conv_after_upsample2(a, kern, dilation=(dil, dil))
+        oracle = cyclic_conv2d(
+            upsample2d(a, (2, 2)), kern, dilation=(dil, dil)
+        )
+        assert fused.shape == oracle.shape == (2, 12, 36, 144)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=2e-5
+        )
+
+    def test_flagship_tail_chain(self):
+        """upsample -> conv9(3x3 d2 tanh) -> conv10(5x5): the full tail
+        runs on the small grid with no full-resolution intermediate."""
+        a = rand(2, 16, 18, 72, key=8)
+        k9 = rand(12, 16, 3, 3, key=9, scale=0.15)
+        b9 = rand(12, key=10, scale=0.1)
+        k10 = rand(4, 12, 5, 5, key=11, scale=0.1)
+        b10 = rand(4, key=12, scale=0.1)
+        # Fused: conv9 commutes with the upsample (d2); conv10 parity-
+        # decomposes over the upsampled mid (tanh is pointwise so it
+        # commutes with the upsample too).
+        s_small = jnp.tanh(cyclic_conv2d(a, k9) + b9[:, None, None])
+        fused = conv_after_upsample2(s_small, k10) + b10[:, None, None]
+        up = upsample2d(a, (2, 2))
+        mid = jnp.tanh(
+            cyclic_conv2d(up, k9, dilation=(2, 2)) + b9[:, None, None]
+        )
+        oracle = cyclic_conv2d(mid, k10) + b10[:, None, None]
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=2e-5
+        )
+
+    def test_odd_small_grid(self):
+        a = rand(1, 3, 5, 9, key=13)
+        kern = rand(2, 3, 3, 3, key=14, scale=0.3)
+        fused = conv_after_upsample2(a, kern)
+        oracle = cyclic_conv2d(upsample2d(a, (2, 2)), kern)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=1e-5
+        )

@@ -112,6 +112,35 @@ class TestBuilder:
         with pytest.raises(ValueError, match="unknown layer"):
             build_sequential([("NotALayer", (), {})])
 
+    def test_peephole_fusion_equivalent_and_param_compatible(self):
+        """build_sequential(fuse=True) rewrites conv+pool and upsample+conv
+        pairs into fused layers with an IDENTICAL parameter tree and
+        equivalent outputs (including the deferred-upsample chain where a
+        dilation-2 UpConv's consumer also collapses)."""
+        from __graft_entry__ import _tower_specs
+        from dlwp_tpu.models.layers import (
+            FusedConvPool2D, Identity, UpConv2D,
+        )
+
+        specs = _tower_specs(4)
+        unfused = build_sequential(specs, fuse=False)
+        fused = build_sequential(specs, fuse=True)
+        kinds = [type(l) for l in fused.layers]
+        assert kinds.count(FusedConvPool2D) == 2
+        assert kinds.count(UpConv2D) == 3  # incl. the collapsed 5x5 conv10
+        assert kinds.count(Identity) == 4
+        assert fused.layers[8].emit_small  # conv9 defers its upsample
+        x = rand(2, 6, 36, 144, key=3)
+        params = unfused.init(jax.random.PRNGKey(0), x)
+        y1 = unfused.apply(params, x)
+        y2 = fused.apply(params, x)  # same params drive the fused graph
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y2), atol=3e-5
+        )
+        assert jax.tree_util.tree_structure(
+            fused.init(jax.random.PRNGKey(0), x)
+        ) == jax.tree_util.tree_structure(params)
+
     def test_tf_padding_registry(self):
         """Reference TFPadding2D/3D specs (custom.py:527-672) resolve and
         apply CONSTANT / SYMMETRIC / REFLECT semantics."""
