@@ -137,7 +137,8 @@ def main():
         )
     except Exception as e:  # secondary diagnostic must not break the bench
         print(f"barotropic bench failed: {e}", file=sys.stderr)
-    if os.environ.get("BENCH_CONVLSTM", "1") != "0":
+    # Opt-in: the ConvLSTM scan program adds a long remote AOT compile.
+    if os.environ.get("BENCH_CONVLSTM", "0") != "0":
         try:
             lstm_gps, _ = bench_convlstm_rollout()
             print(

@@ -326,6 +326,7 @@ def _peephole_fuse(layers: tuple) -> tuple:
       -> UpConv2D (algebraic small-grid collapse, pure XLA).
     """
     from dlwp_tpu.models.layers import (
+        _MONOTONE_ACTIVATIONS,
         FusedConvPool2D,
         Identity,
         UpConv2D,
@@ -341,7 +342,7 @@ def _peephole_fuse(layers: tuple) -> tuple:
             and _pair(a.kernel_size) == (3, 3)
             and a.strides == (1, 1)
             and a.lat_mode == "zero"
-            and a.activation == "tanh"
+            and a.activation in _MONOTONE_ACTIVATIONS
             and a.spatial is None
         ):
             out[i] = FusedConvPool2D(
