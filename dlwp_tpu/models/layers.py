@@ -214,9 +214,16 @@ class ConvLSTM2D(nn.Module):
         else:
             conv = partial(cyclic_conv2d, lat_mode=self.lat_mode)
 
-        def step(carry, x_t):
+        # The input-to-hidden convolutions do not depend on the recurrence:
+        # compute them for every time step in one (B*T)-batched conv (one
+        # large MXU contraction instead of T small ones inside the scan;
+        # only the recurrent conv stays sequential).
+        zx_all = conv(
+            x.reshape(B * T, C, H, W), Wx, dilation=dil
+        ).reshape(B, T, 4 * F, H, W)
+
+        def step(carry, zx):
             h, c = carry
-            zx = conv(x_t, Wx, dilation=dil)
             zh = conv(h, Wh)
             z = zx + zh + bias[..., :, None, None]
             i, f, g, o = jnp.split(z, 4, axis=-3)
@@ -227,8 +234,8 @@ class ConvLSTM2D(nn.Module):
         h0 = jnp.zeros((B, F, H, W), dtype=dt)
         c0 = jnp.zeros((B, F, H, W), dtype=dt)
         # Scan over time: move T to the front.
-        xs = jnp.moveaxis(x, 1, 0)
-        (h_last, _), hs = jax.lax.scan(step, (h0, c0), xs)
+        zxs = jnp.moveaxis(zx_all, 1, 0)
+        (h_last, _), hs = jax.lax.scan(step, (h0, c0), zxs)
         if self.return_sequences:
             return jnp.moveaxis(hs, 0, 1)  # (B, T, F, H, W)
         return h_last
