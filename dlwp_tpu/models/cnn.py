@@ -298,6 +298,29 @@ LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 }
 
 
+def _fused_layer(name):
+    def build(*args, **kw):
+        from dlwp_tpu.models import layers as L
+
+        cls = getattr(L, name)
+        kw.pop("data_format", None)
+        kw.pop("input_shape", None)
+        if "dilation_rate" in kw:
+            kw["dilation"] = kw.pop("dilation_rate")
+        if len(args) >= 2:
+            return cls(features=args[0], kernel_size=args[1], **kw)
+        return cls(features=args[0], **kw) if args else cls(**kw)
+
+    return build
+
+
+# Direct declarative access to the fused layers (the peephole pass in
+# build_sequential produces these automatically from conv+pool and
+# upsample+conv pairs; these names let users write them explicitly).
+LAYER_REGISTRY["FusedConvPool2D"] = _fused_layer("FusedConvPool2D")
+LAYER_REGISTRY["UpConv2D"] = _fused_layer("UpConv2D")
+
+
 def resolve_layer(spec) -> nn.Module:
     """Resolve one layer spec: a flax Module, or (name, args, kwargs)."""
     if isinstance(spec, nn.Module):
