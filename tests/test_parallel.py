@@ -265,6 +265,46 @@ class TestDataParallelTraining:
             np.asarray(out), np.asarray(oracle), atol=1e-5
         )
 
+    def test_spatial_sharding_overlap_impl(self):
+        """SpatialSharding(impl='overlap') routes 3x3 undilated convs to
+        the compute/comm-overlap kernel (interpret mode, 1-D mesh)."""
+        require_devices(8)
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from dlwp_tpu.models.layers import CyclicConv2D
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("lat",))
+        spatial = SpatialSharding(
+            mesh=mesh, data_axis=None, lat_axis="lat", impl="overlap",
+            interpret=True,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 3, 16, 24).astype(np.float32)
+        )
+        layer = CyclicConv2D(features=4, kernel_size=3, activation="tanh")
+        params = layer.init(jax.random.PRNGKey(0), x)
+        oracle = layer.apply(params, x)
+        sharded_layer = layer.clone(spatial=spatial)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        out = sharded_layer.apply(params, xs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), atol=1e-5
+        )
+        # Dilated convs are outside the overlap kernel's scope -> local.
+        d = CyclicConv2D(features=4, kernel_size=3, dilation=2,
+                         spatial=spatial)
+        pd = CyclicConv2D(features=4, kernel_size=3, dilation=2).init(
+            jax.random.PRNGKey(1), x
+        )
+        np.testing.assert_allclose(
+            np.asarray(d.apply(pd, x)),
+            np.asarray(
+                CyclicConv2D(features=4, kernel_size=3, dilation=2).apply(pd, x)
+            ),
+            atol=1e-6,
+        )
+
     def test_spatial_fallback_on_indivisible_shapes(self):
         """Odd H or ragged batch falls back to the local conv (same math)."""
         require_devices(8)
