@@ -27,11 +27,18 @@ def initialize_distributed(
     With no arguments, relies on the TPU environment's automatic discovery
     (GKE/queued resources set the coordination variables); explicit
     arguments support manual bring-up. Idempotent.
+
+    Note: must run before any JAX computation (even ``jax.devices()``),
+    so the idempotency check inspects the distributed client directly
+    rather than calling a backend-initializing query.
     """
-    if jax.process_count() > 1 or getattr(
-        jax.distributed.global_state, "client", None
-    ):
-        return
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except ImportError:  # pragma: no cover - private-module layout change
+        pass
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
@@ -39,7 +46,12 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def multihost_mesh(
