@@ -76,12 +76,21 @@ class SkipTower(nn.Module):
         x, skip2 = x[:, :w], x[:, w:]
         x = MaxPool2D(2)(x)
         x = CyclicConv2D(4 * w, 3, activation=self.activation, spatial=sp)(x)
-        x = UpSampling2D(2)(x)
-        x = CyclicConv2D(2 * w, 3, activation=self.activation, spatial=sp)(x)
-        x = jnp.concatenate([x, skip2], axis=-3)
-        x = UpSampling2D(2)(x)
-        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
-                         spatial=sp)(x)
+        if sp is None:
+            # Algebraic upsample+conv collapse (ops.conv.conv_after_upsample2)
+            from dlwp_tpu.models.layers import UpConv2D
+
+            x = UpConv2D(2 * w, 3, activation=self.activation)(x)
+            x = jnp.concatenate([x, skip2], axis=-3)
+            x = UpConv2D(w, 3, dilation=2, activation=self.activation)(x)
+        else:
+            x = UpSampling2D(2)(x)
+            x = CyclicConv2D(2 * w, 3, activation=self.activation,
+                             spatial=sp)(x)
+            x = jnp.concatenate([x, skip2], axis=-3)
+            x = UpSampling2D(2)(x)
+            x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
+                             spatial=sp)(x)
         x = jnp.concatenate([x, skip1], axis=-3)
         x = CyclicConv2D(self.c_out, 5, activation="linear", spatial=sp)(x)
         return x
