@@ -308,11 +308,14 @@ class FusedConvPool2D(nn.Module):
             from dlwp_tpu.ops.fused_stages import fused_conv_pool
 
             return fused_conv_pool(x, kernel, bias, dilation=dil[0])
+        from dlwp_tpu.ops.conv import _PARITY_MAX_W
+
         if (
             dil[0] % 2 == 0
             and dil[1] % 2 == 0
             and x.shape[-1] % 2 == 0
             and x.shape[-2] % 2 == 0
+            and x.shape[-1] <= _PARITY_MAX_W
             and self.activation in _MONOTONE_ACTIVATIONS
         ):
             # Even dilation decouples row/column parities entirely, so the
