@@ -39,10 +39,12 @@ class SpatialSharding:
         data_axis: mesh axis for batch sharding, or None for pure spatial.
         lat_axis: mesh axis the latitude dimension is sharded over.
         impl: 'ppermute' (portable XLA collectives), 'pallas' (explicit
-            ICI remote-DMA halo kernel + XLA conv), or 'overlap' (single
-            Pallas kernel computing the interior stencil on the MXU while
-            the halo DMAs fly; 3x3 undilated convs only, others fall back
-            to 'pallas' semantics). TPU, or interpret mode on CPU meshes.
+            ICI remote-DMA halo kernel + XLA conv; any kernel size and
+            dilation -- the halo is a single contiguous multi-row DMA per
+            direction), or 'overlap' (single Pallas kernel computing the
+            interior stencil on the MXU while the halo DMAs fly; 3x3
+            undilated convs only, others take the 'pallas' path). TPU, or
+            interpret mode on CPU meshes.
         interpret: run Pallas kernels in interpret mode (CPU testing).
 
     Hashable/frozen so flax modules can carry it as a static field.
@@ -92,8 +94,6 @@ class SpatialSharding:
         halo = max(eh // 2, eh - eh // 2)
         if halo > H // self.lat_shards:
             return False
-        if self.impl in ("pallas", "overlap") and dilation != (1, 1):
-            return False  # the Pallas halo kernels are undilated
         return True
 
     def conv(
@@ -109,54 +109,93 @@ class SpatialSharding:
             return cyclic_conv2d(
                 x, kernel, strides=strides, lat_mode=lat_mode, dilation=dilation
             )
-        spec = self.activation_spec(x.ndim)
-        if self.impl == "overlap" and kernel.shape[-2:] == (3, 3) and x.ndim == 4:
-            from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
-
-            return overlapped_cyclic_conv2d(
-                x, kernel, self.mesh, data_axis=self.data_axis,
-                lat_axis_name=self.lat_axis, interpret=self.interpret,
-            )
         if self.impl in ("pallas", "overlap"):
-            from dlwp_tpu.parallel.pallas_halo import pallas_halo_exchange_lat
-            from dlwp_tpu.ops.padding import pad_periodic
-            from jax import lax
+            # Pallas kernels carry no autodiff rules: forward runs the
+            # fast kernel, backward recomputes through the numerically
+            # identical ppermute formulation (remat-style custom_vjp).
+            return _fast_conv(x, kernel, self, tuple(dilation))
+        return _ppermute_conv(x, kernel, self, tuple(dilation))
 
-            kh, kw = kernel.shape[-2], kernel.shape[-1]
-            halo = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2)
 
-            def local_fn(xb, k):
-                x4 = xb.reshape((-1,) + xb.shape[-3:])
-                padded = pallas_halo_exchange_lat(
-                    x4, halo, axis_name=self.lat_axis,
-                    data_axis=self.data_axis, interpret=self.interpret,
-                )
-                ew = kw - 1
-                padded = pad_periodic(
-                    padded, ((0, 0), (ew // 2, ew - ew // 2))
-                )
-                out = lax.conv_general_dilated(
-                    padded, k, (1, 1), "VALID",
-                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                )
-                return out.reshape(xb.shape[:-3] + out.shape[1:])
+def _ppermute_conv(x, kernel, cfg: "SpatialSharding", dilation):
+    """Sharded conv via the portable XLA-collective halo exchange."""
+    kh = kernel.shape[-2]
+    eh = (kh - 1) * dilation[0]
+    fn = partial(
+        _local_cyclic_conv,
+        halo=(eh // 2, eh - eh // 2),
+        axis_name=cfg.lat_axis,
+        dilation=dilation,
+    )
+    spec = cfg.activation_spec(x.ndim)
+    return jax.shard_map(
+        fn, mesh=cfg.mesh, in_specs=(spec, P()), out_specs=spec
+    )(x, kernel)
 
-            return jax.shard_map(
-                local_fn, mesh=self.mesh, in_specs=(spec, P()),
-                out_specs=spec, check_vma=False,
-            )(x, kernel)
 
-        kh = kernel.shape[-2]
-        eh = (kh - 1) * dilation[0]
-        fn = partial(
-            _local_cyclic_conv,
-            halo=(eh // 2, eh - eh // 2),
-            axis_name=self.lat_axis,
-            dilation=dilation,
+def _fast_conv_impl(x, kernel, cfg: "SpatialSharding", dilation):
+    spec = cfg.activation_spec(x.ndim)
+    if (
+        cfg.impl == "overlap"
+        and kernel.shape[-2:] == (3, 3)
+        and dilation == (1, 1)
+        and x.ndim == 4
+    ):
+        from dlwp_tpu.parallel.pallas_overlap import overlapped_cyclic_conv2d
+
+        return overlapped_cyclic_conv2d(
+            x, kernel, cfg.mesh, data_axis=cfg.data_axis,
+            lat_axis_name=cfg.lat_axis, interpret=cfg.interpret,
         )
-        return jax.shard_map(
-            fn, mesh=self.mesh, in_specs=(spec, P()), out_specs=spec
-        )(x, kernel)
+    from dlwp_tpu.parallel.pallas_halo import pallas_halo_exchange_lat
+    from dlwp_tpu.ops.padding import pad_periodic
+    from jax import lax
+
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    # Dilation only widens the halo slab (still one contiguous
+    # multi-row DMA per direction) and dilates the local conv.
+    eh = (kh - 1) * dilation[0]
+    ew = (kw - 1) * dilation[1]
+    halo = (eh // 2, eh - eh // 2)
+
+    def local_fn(xb, k):
+        x4 = xb.reshape((-1,) + xb.shape[-3:])
+        padded = pallas_halo_exchange_lat(
+            x4, halo, axis_name=cfg.lat_axis,
+            data_axis=cfg.data_axis, interpret=cfg.interpret,
+        )
+        padded = pad_periodic(padded, ((0, 0), (ew // 2, ew - ew // 2)))
+        out = lax.conv_general_dilated(
+            padded, k, (1, 1), "VALID",
+            rhs_dilation=dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out.reshape(xb.shape[:-3] + out.shape[1:])
+
+    return jax.shard_map(
+        local_fn, mesh=cfg.mesh, in_specs=(spec, P()),
+        out_specs=spec, check_vma=False,
+    )(x, kernel)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fast_conv(x, kernel, cfg, dilation):
+    return _fast_conv_impl(x, kernel, cfg, dilation)
+
+
+def _fast_conv_fwd(x, kernel, cfg, dilation):
+    return _fast_conv_impl(x, kernel, cfg, dilation), (x, kernel)
+
+
+def _fast_conv_bwd(cfg, dilation, res, ct):
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda xx, kk: _ppermute_conv(xx, kk, cfg, dilation), x, kernel
+    )
+    return vjp(ct)
+
+
+_fast_conv.defvjp(_fast_conv_fwd, _fast_conv_bwd)
 
 
 def attach_spatial(layer, spatial: SpatialSharding | None):

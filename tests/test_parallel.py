@@ -265,6 +265,33 @@ class TestDataParallelTraining:
             np.asarray(out), np.asarray(oracle), atol=1e-5
         )
 
+    def test_spatial_sharding_pallas_impl_dilated_and_5x5(self):
+        """The 'pallas' impl covers dilated and 5x5 convs (multi-row halo
+        slabs): the flagship's d2 3x3 and 5x5 output convs shard too."""
+        require_devices(8)
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from dlwp_tpu.models.layers import CyclicConv2D
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("lat",))
+        spatial = SpatialSharding(
+            mesh=mesh, data_axis=None, lat_axis="lat", impl="pallas",
+            interpret=True,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, 3, 16, 24).astype(np.float32)
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
+        for kw in [dict(kernel_size=3, dilation=2), dict(kernel_size=5)]:
+            layer = CyclicConv2D(features=4, activation="tanh", **kw)
+            params = layer.init(jax.random.PRNGKey(0), x)
+            oracle = layer.apply(params, x)
+            out = layer.clone(spatial=spatial).apply(params, xs)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(oracle), atol=1e-5
+            )
+
     def test_spatial_sharding_overlap_impl(self):
         """SpatialSharding(impl='overlap') routes 3x3 undilated convs to
         the compute/comm-overlap kernel (interpret mode, 1-D mesh)."""
@@ -291,7 +318,9 @@ class TestDataParallelTraining:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(oracle), atol=1e-5
         )
-        # Dilated convs are outside the overlap kernel's scope -> local.
+        # Dilated convs are outside the overlap kernel's scope -> they
+        # take the 'pallas' halo path (x here is unsharded, so the
+        # shard_map runs via auto-sharding); result must still match.
         d = CyclicConv2D(features=4, kernel_size=3, dilation=2,
                          spatial=spatial)
         pd = CyclicConv2D(features=4, kernel_size=3, dilation=2).init(
