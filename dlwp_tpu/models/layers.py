@@ -319,18 +319,37 @@ class FusedConvPool2D(nn.Module):
             and self.activation in _MONOTONE_ACTIVATIONS
         ):
             # Even dilation decouples row/column parities entirely, so the
-            # conv+pool chain runs as four quarter-grid convs + an
+            # conv+pool chain runs on quarter-resolution parity planes + an
             # elementwise max -- the full-resolution activation never
-            # materializes (exact; measured 506 vs 959 us for the flagship
-            # entry stage on v5e, BASELINE.md round 2).
+            # materializes. The planes are stacked on CHANNELS and run as
+            # ONE feature_group_count=4 conv: measured 526 us vs 871
+            # (unfused) vs 1400 (four separate parity convs) for the
+            # flagship entry stage on v5e (BASELINE.md round 2+).
             half_dil = (dil[0] // 2, dil[1] // 2)
-            m = None
-            for pr in (0, 1):
-                for pc in (0, 1):
-                    o = cyclic_conv2d(
-                        x[..., pr::2, pc::2], kernel, dilation=half_dil
-                    )
-                    m = o if m is None else jnp.maximum(m, o)
+            lead = x.shape[:-3]
+            C, H, W = x.shape[-3], x.shape[-2], x.shape[-1]
+            v = x.reshape(lead + (C, H // 2, 2, W // 2, 2))
+            nd = v.ndim
+            # (..., C, h, a, w, c2) -> (..., a, c2, C, h, w)
+            v = jnp.moveaxis(jnp.moveaxis(v, nd - 3, nd - 5), nd - 1, nd - 4)
+            xs = v.reshape(lead + (4 * C, H // 2, W // 2))
+            from dlwp_tpu.ops.padding import pad_latlon
+            from jax import lax as _lax
+
+            eh = (kh - 1) * half_dil[0]
+            ew = (kw - 1) * half_dil[1]
+            xp = pad_latlon(
+                xs, (eh // 2, eh - eh // 2), (ew // 2, ew - ew // 2)
+            )
+            x4 = xp.reshape((-1,) + xp.shape[-3:])
+            o = _lax.conv_general_dilated(
+                x4, jnp.tile(kernel, (4, 1, 1, 1)), (1, 1), "VALID",
+                rhs_dilation=half_dil,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=4,
+            )
+            o = o.reshape(lead + (4, self.features) + o.shape[-2:])
+            m = jnp.max(o, axis=len(lead))
             if bias is not None:
                 m = m + bias[..., :, None, None]
             return act(m)
