@@ -273,6 +273,15 @@ class FusedConvPool2D(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     use_pallas: bool | None = None  # None: off (measured slower; see above)
+    # Even-dilation formulation: 'group' (parity planes stacked on channels,
+    # one feature_group_count=4 conv), 'parity4' (four separate quarter-grid
+    # convs + max), or 'unfused' (full-res conv + pool). Isolated-stage
+    # timings favor 'group' (526 vs 871/1400 us) but IN-MODEL the strided
+    # parity slices fuse into the conv input fetch while the grouped
+    # formulation's transpose materializes: flagship apply 1438 ('parity4')
+    # vs 1579 ('group') vs 1444 ('unfused') us -- so 'parity4' is the
+    # default (see BASELINE.md round 2+).
+    parity_impl: str = "parity4"
 
     @nn.compact
     def __call__(self, x):
@@ -317,39 +326,23 @@ class FusedConvPool2D(nn.Module):
             and x.shape[-2] % 2 == 0
             and x.shape[-1] <= _PARITY_MAX_W
             and self.activation in _MONOTONE_ACTIVATIONS
+            and self.parity_impl != "unfused"
         ):
-            # Even dilation decouples row/column parities entirely, so the
-            # conv+pool chain runs on quarter-resolution parity planes + an
-            # elementwise max -- the full-resolution activation never
-            # materializes. The planes are stacked on CHANNELS and run as
-            # ONE feature_group_count=4 conv: measured 526 us vs 871
-            # (unfused) vs 1400 (four separate parity convs) for the
-            # flagship entry stage on v5e (BASELINE.md round 2+).
-            half_dil = (dil[0] // 2, dil[1] // 2)
-            lead = x.shape[:-3]
-            C, H, W = x.shape[-3], x.shape[-2], x.shape[-1]
-            v = x.reshape(lead + (C, H // 2, 2, W // 2, 2))
-            nd = v.ndim
-            # (..., C, h, a, w, c2) -> (..., a, c2, C, h, w)
-            v = jnp.moveaxis(jnp.moveaxis(v, nd - 3, nd - 5), nd - 1, nd - 4)
-            xs = v.reshape(lead + (4 * C, H // 2, W // 2))
-            from dlwp_tpu.ops.padding import pad_latlon
-            from jax import lax as _lax
+            if self.parity_impl == "parity4":
+                half_dil = (dil[0] // 2, dil[1] // 2)
+                m = None
+                for pr in (0, 1):
+                    for pc in (0, 1):
+                        o = cyclic_conv2d(
+                            x[..., pr::2, pc::2], kernel, dilation=half_dil
+                        )
+                        m = o if m is None else jnp.maximum(m, o)
+                if bias is not None:
+                    m = m + bias[..., :, None, None]
+                return act(m)
+            from dlwp_tpu.ops.conv import conv_pool2_even_dilation
 
-            eh = (kh - 1) * half_dil[0]
-            ew = (kw - 1) * half_dil[1]
-            xp = pad_latlon(
-                xs, (eh // 2, eh - eh // 2), (ew // 2, ew - ew // 2)
-            )
-            x4 = xp.reshape((-1,) + xp.shape[-3:])
-            o = _lax.conv_general_dilated(
-                x4, jnp.tile(kernel, (4, 1, 1, 1)), (1, 1), "VALID",
-                rhs_dilation=half_dil,
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                feature_group_count=4,
-            )
-            o = o.reshape(lead + (4, self.features) + o.shape[-2:])
-            m = jnp.max(o, axis=len(lead))
+            m = conv_pool2_even_dilation(x, kernel, dilation=dil)
             if bias is not None:
                 m = m + bias[..., :, None, None]
             return act(m)
@@ -357,6 +350,86 @@ class FusedConvPool2D(nn.Module):
         if bias is not None:
             y = y + bias[..., :, None, None]
         return max_pool2d(act(y), (2, 2))
+
+
+class SplitConvPool2D(nn.Module):
+    """CyclicConv2D + channel split + MaxPool2D(2) on the kept half, fused.
+
+    The skip-model encoder (reference train_functional.py:248-276) splits
+    each conv's channels: the first ``keep`` continue down through pooling,
+    the rest carry across as a full-resolution skip. Only the skip half
+    needs the full-resolution activation, so for even dilations the pooled
+    half runs on quarter-resolution parity planes
+    (:func:`dlwp_tpu.ops.conv.conv_pool2_even_dilation`) -- half the
+    full-resolution conv work and traffic of the unfused
+    conv -> split -> pool chain.
+
+    Parameter tree is identical to ``CyclicConv2D(features)`` (one kernel,
+    one bias), so it can take a conv's name/slot in an existing model.
+    Returns ``(pooled, skip)``.
+    """
+
+    features: int
+    keep: int
+    kernel_size: int | tuple[int, int] = 3
+    dilation: int | tuple[int, int] = 1
+    activation: str | Callable | None = "tanh"
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        c_in = x.shape[-3]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(in_axis=1, out_axis=0),
+            (self.features, c_in, kh, kw),
+            self.dtype or x.dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.dtype or x.dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        dil = _pair(self.dilation)
+        act = get_activation(self.activation)
+
+        def finish(y, b):
+            if b is not None:
+                y = y + b[..., :, None, None]
+            return act(y)
+
+        skip = finish(
+            cyclic_conv2d(x, kernel[self.keep :], dilation=dil),
+            None if bias is None else bias[self.keep :],
+        )
+        from dlwp_tpu.ops.conv import _PARITY_MAX_W, conv_pool2_even_dilation
+
+        if (
+            dil[0] % 2 == 0
+            and dil[1] % 2 == 0
+            and x.shape[-1] % 2 == 0
+            and x.shape[-2] % 2 == 0
+            and x.shape[-1] <= _PARITY_MAX_W
+            and self.activation in _MONOTONE_ACTIVATIONS
+        ):
+            pooled = finish(
+                conv_pool2_even_dilation(x, kernel[: self.keep], dilation=dil),
+                None if bias is None else bias[: self.keep],
+            )
+        else:
+            pooled = max_pool2d(
+                finish(
+                    cyclic_conv2d(x, kernel[: self.keep], dilation=dil),
+                    None if bias is None else bias[: self.keep],
+                ),
+                (2, 2),
+            )
+        return pooled, skip
 
 
 class UpConv2D(nn.Module):

@@ -180,31 +180,80 @@ def conv_after_upsample2(
         )
     c = (kh - 1) // 2
     # Parity-combined 3x3 kernels: K_small[p][j] = sum of K[a] over taps a
-    # with floor((p + a)/2) == j (independently per axis).
-    outs = []
+    # with floor((p + a)/2) == j (independently per axis). All four parity
+    # outputs read the SAME small-grid input, so they run as ONE dense conv
+    # to 4*O channels (4x the MXU tile fill of four separate convs; the
+    # separate-conv form measured 1400 vs 526 us on the analogous entry
+    # stage, BASELINE.md round 2+).
+    ks_all = jnp.zeros((4, O, C, 3, 3), kernel.dtype)
     for pr in (0, 1):
-        row = []
         for pc in (0, 1):
-            ks = jnp.zeros((O, C, 3, 3), kernel.dtype)
             for ay in range(-c, c + 1):
                 jy = (pr + ay) // 2  # python floor division
                 for ax in range(-c, c + 1):
                     jx = (pc + ax) // 2
-                    ks = ks.at[:, :, jy + 1, jx + 1].add(
+                    ks_all = ks_all.at[2 * pr + pc, :, :, jy + 1, jx + 1].add(
                         kernel[:, :, ay + c, ax + c]
                     )
-            row.append(cyclic_conv2d(a, ks, precision=precision))
-        outs.append(row)
-    # Interleave columns then rows: y[..., 2r+pr, 2u+pc] = outs[pr][pc][r, u].
+    out = cyclic_conv2d(
+        a, ks_all.reshape(4 * O, C, 3, 3), precision=precision
+    )
+    # Interleave: y[..., o, 2r+pr, 2u+pc] = out[..., (2pr+pc)*O + o, r, u].
     H, W = a.shape[-2], a.shape[-1]
-    lead = outs[0][0].shape[:-2]
-    rows = [
-        jnp.stack([outs[p][0], outs[p][1]], axis=-1).reshape(
-            lead + (H, 2 * W)
-        )
-        for p in (0, 1)
-    ]
-    return jnp.stack(rows, axis=-2).reshape(lead + (2 * H, 2 * W))
+    lead = out.shape[:-3]
+    v = out.reshape(lead + (2, 2, O, H, W))
+    # (..., pr, pc, o, r, u) -> (..., o, r, pr, u, pc)
+    nd = v.ndim
+    v = jnp.moveaxis(jnp.moveaxis(v, nd - 5, nd - 2), nd - 5, nd - 1)
+    return v.reshape(lead + (O, 2 * H, 2 * W))
+
+
+def conv_pool2_even_dilation(
+    x: jax.Array,
+    kernel: jax.Array,
+    dilation: tuple[int, int] = (2, 2),
+    precision=None,
+) -> jax.Array:
+    """``max_pool2d(cyclic_conv2d(x, kernel, dilation), 2)`` for EVEN
+    dilations, computed on quarter-resolution parity planes.
+
+    Even dilation decouples row/column parities: the conv output at
+    (2r+a, 2u+b) reads only inputs of parity (a, b), so the 2x2 max pool
+    is an elementwise max over four quarter-grid convs that never
+    materialize the full-resolution activation. The four planes are
+    stacked on CHANNELS and run as ONE ``feature_group_count=4`` conv --
+    measured 526 us vs 871 (unfused) vs 1400 (four separate convs) for
+    the flagship entry stage on v5e (BASELINE.md round 2+).
+
+    Note the max is over RAW conv outputs: callers adding a bias and a
+    monotone activation afterwards get exactly
+    ``pool(act(conv + bias))`` (max commutes with nondecreasing maps).
+
+    x: (..., C, H, W) with even H, W; kernel (O, C, kh, kw).
+    Returns (..., O, H/2, W/2).
+    """
+    O, C, kh, kw = kernel.shape
+    half_dil = (dilation[0] // 2, dilation[1] // 2)
+    lead = x.shape[:-3]
+    H, W = x.shape[-2], x.shape[-1]
+    v = x.reshape(lead + (C, H // 2, 2, W // 2, 2))
+    nd = v.ndim
+    # (..., C, h, a, w, b) -> (..., a, b, C, h, w)
+    v = jnp.moveaxis(jnp.moveaxis(v, nd - 3, nd - 5), nd - 1, nd - 4)
+    xs = v.reshape(lead + (4 * C, H // 2, W // 2))
+    eh = (kh - 1) * half_dil[0]
+    ew = (kw - 1) * half_dil[1]
+    xp = pad_latlon(xs, (eh // 2, eh - eh // 2), (ew // 2, ew - ew // 2))
+    x4 = xp.reshape((-1,) + xp.shape[-3:])
+    o = lax.conv_general_dilated(
+        x4, jnp.tile(kernel, (4, 1, 1, 1)), (1, 1), "VALID",
+        rhs_dilation=half_dil,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=4,
+        precision=precision,
+    )
+    o = o.reshape(lead + (4, O) + o.shape[-2:])
+    return jnp.max(o, axis=len(lead))
 
 
 def row_conv2d(

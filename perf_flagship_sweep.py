@@ -1,0 +1,73 @@
+"""In-model sweep of the entry conv+pool formulation (flagship rollout).
+
+Isolated-stage timings (perf_entry*.py) disagreed with in-model behavior:
+changroup won in isolation (526 vs 871/1400 us) but the full rollout bench
+regressed 802 -> 763 Mgp/s. This sweeps the FusedConvPool2D parity_impl
+inside the actual flagship step (with the dense one-conv upsample tail from
+ops.conv) and reports per-application time + implied rollout throughput.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_tpu.models import build_sequential
+from dlwp_tpu.models.cnn import SequentialModel
+from dlwp_tpu.models.layers import FusedConvPool2D
+from __graft_entry__ import _tower_specs
+
+B, H, W = 256, 36, 144
+
+
+def with_impl(model, impl):
+    ls = tuple(
+        l.clone(parity_impl=impl) if isinstance(l, FusedConvPool2D) else l
+        for l in model.layers
+    )
+    return SequentialModel(layers=ls)
+
+
+def timed(fn, *args, steps=50, repeats=3):
+    def body(c, _):
+        y = fn(args[0] * c, *args[1:])
+        return 1.0 + 0.0 * y.ravel()[0], ()
+
+    @jax.jit
+    def loop():
+        c, _ = lax.scan(body, jnp.float32(1.0), None, length=steps)
+        return c
+
+    jax.block_until_ready(loop())
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
+def main():
+    rng = np.random.RandomState(0)
+    base = build_sequential(_tower_specs(4))
+    x = jnp.asarray(rng.randn(B, 6, H, W), jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), x)
+    ref = None
+    for impl in ["group", "parity4", "unfused"]:
+        m = with_impl(base, impl)
+        out = jax.jit(lambda a, m=m: m.apply(params, a))(x)
+        if ref is None:
+            ref = out
+        else:
+            err = float(jnp.max(jnp.abs(out - ref)))
+            assert err < 1e-4, (impl, err)
+        t = timed(lambda a, m=m: m.apply(params, a), x)
+        gps = B * H * W / t
+        print(f"{impl:>10}: {t*1e6:8.1f} us/apply  -> ~{gps/1e6:7.1f} Mgp/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
