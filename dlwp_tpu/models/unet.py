@@ -22,6 +22,7 @@ from dlwp_tpu.models.layers import (
     CyclicConv2D,
     MaxPool2D,
     Reshape,
+    SplitConvPool2D,
     UpSampling2D,
 )
 
@@ -68,14 +69,26 @@ class SkipTower(nn.Module):
                            return_sequences=True, spatial=sp)(x)
             x = x.reshape(B, T * self.lstm_features, H, W)
 
-        x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
-                         spatial=sp)(x)
-        x, skip1 = x[:, : w // 2], x[:, w // 2 :]
-        x = MaxPool2D(2)(x)
-        x = CyclicConv2D(2 * w, 3, activation=self.activation, spatial=sp)(x)
+        if sp is None:
+            # Fused conv -> split -> pool: only the skip half is computed
+            # at full resolution (the pooled half runs on quarter-res
+            # parity planes). Explicit names keep the parameter tree
+            # identical to the unfused composition below.
+            x, skip1 = SplitConvPool2D(
+                w, keep=w // 2, kernel_size=3, dilation=2,
+                activation=self.activation, name="CyclicConv2D_0",
+            )(x)
+        else:
+            x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
+                             spatial=sp, name="CyclicConv2D_0")(x)
+            x, skip1 = x[:, : w // 2], x[:, w // 2 :]
+            x = MaxPool2D(2)(x)
+        x = CyclicConv2D(2 * w, 3, activation=self.activation, spatial=sp,
+                         name="CyclicConv2D_1")(x)
         x, skip2 = x[:, :w], x[:, w:]
         x = MaxPool2D(2)(x)
-        x = CyclicConv2D(4 * w, 3, activation=self.activation, spatial=sp)(x)
+        x = CyclicConv2D(4 * w, 3, activation=self.activation, spatial=sp,
+                         name="CyclicConv2D_2")(x)
         if sp is None:
             # Algebraic upsample+conv collapse (ops.conv.conv_after_upsample2)
             from dlwp_tpu.models.layers import UpConv2D
@@ -86,11 +99,15 @@ class SkipTower(nn.Module):
         else:
             x = UpSampling2D(2)(x)
             x = CyclicConv2D(2 * w, 3, activation=self.activation,
-                             spatial=sp)(x)
+                             spatial=sp, name="CyclicConv2D_3")(x)
             x = jnp.concatenate([x, skip2], axis=-3)
             x = UpSampling2D(2)(x)
             x = CyclicConv2D(w, 3, dilation=2, activation=self.activation,
-                             spatial=sp)(x)
+                             spatial=sp, name="CyclicConv2D_4")(x)
         x = jnp.concatenate([x, skip1], axis=-3)
-        x = CyclicConv2D(self.c_out, 5, activation="linear", spatial=sp)(x)
+        # Final conv: auto-naming historically gave _3 on the fused branch
+        # (UpConv2D takes the up-convs there) and _5 on the spatial branch.
+        x = CyclicConv2D(self.c_out, 5, activation="linear", spatial=sp,
+                         name="CyclicConv2D_3" if sp is None else
+                         "CyclicConv2D_5")(x)
         return x
