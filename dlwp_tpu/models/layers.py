@@ -231,11 +231,22 @@ class ConvLSTM2D(nn.Module):
             h_new = r_act(o) * act(c_new)
             return (h_new, c_new), h_new
 
-        h0 = jnp.zeros((B, F, H, W), dtype=dt)
-        c0 = jnp.zeros((B, F, H, W), dtype=dt)
         # Scan over time: move T to the front.
         zxs = jnp.moveaxis(zx_all, 1, 0)
-        (h_last, _), hs = jax.lax.scan(step, (h0, c0), zxs)
+        # First step specialized: the initial state is exactly zero, so
+        # zh = conv(0) = 0 and the forget branch vanishes -- this removes
+        # one full-resolution recurrent conv from the graph (the scan body
+        # is compiled once and cannot exploit h0 = 0; measured 896 us per
+        # h-conv at batch 64 on v5e, BASELINE.md).
+        z0 = zxs[0] + bias[..., :, None, None]
+        i0, _, g0, o0 = jnp.split(z0, 4, axis=-3)
+        c1 = r_act(i0) * act(g0)
+        h1 = r_act(o0) * act(c1)
+        if T == 1:
+            h_last, hs = h1, h1[None]
+        else:
+            (h_last, _), hs_rest = jax.lax.scan(step, (h1, c1), zxs[1:])
+            hs = jnp.concatenate([h1[None], hs_rest], axis=0)
         if self.return_sequences:
             return jnp.moveaxis(hs, 0, 1)  # (B, T, F, H, W)
         return h_last
