@@ -101,3 +101,64 @@ class TestConvAfterUpsample2:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(oracle), atol=1e-5
         )
+
+
+class TestConvPoolFormulations:
+    """The selectable FusedConvPool2D entry formulations and the
+    conv_pool2_even_dilation op must all match the unfused chain."""
+
+    @pytest.mark.parametrize("dil", [2, 4])
+    def test_conv_pool2_even_dilation(self, dil):
+        from dlwp_tpu.ops.conv import conv_pool2_even_dilation
+
+        x = rand(2, 3, 16, 24, key=4)
+        k = rand(5, 3, 3, 3, key=5, scale=0.2)
+        fused = conv_pool2_even_dilation(x, k, dilation=(dil, dil))
+        oracle = max_pool2d(cyclic_conv2d(x, k, dilation=(dil, dil)), (2, 2))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(oracle), atol=2e-6
+        )
+
+    @pytest.mark.parametrize("impl", ["group", "parity4", "unfused"])
+    def test_layer_impls_match(self, impl):
+        from dlwp_tpu.models.layers import FusedConvPool2D
+
+        x = rand(2, 3, 16, 24, key=6)
+        layer = FusedConvPool2D(
+            features=5, dilation=2, activation="tanh", parity_impl=impl
+        )
+        params = layer.init(jax.random.PRNGKey(0), x)
+        out = layer.apply(params, x)
+        k = params["params"]["kernel"]
+        b = params["params"]["bias"]
+        oracle = max_pool2d(
+            jnp.tanh(
+                cyclic_conv2d(x, k, dilation=(2, 2)) + b[:, None, None]
+            ),
+            (2, 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), atol=2e-6
+        )
+
+    def test_split_conv_pool(self):
+        from dlwp_tpu.models.layers import SplitConvPool2D
+
+        x = rand(2, 4, 16, 24, key=7)
+        layer = SplitConvPool2D(
+            features=8, keep=3, dilation=2, activation="tanh"
+        )
+        params = layer.init(jax.random.PRNGKey(0), x)
+        pooled, skip = layer.apply(params, x)
+        k = params["params"]["kernel"]
+        b = params["params"]["bias"]
+        full = jnp.tanh(
+            cyclic_conv2d(x, k, dilation=(2, 2)) + b[:, None, None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), np.asarray(max_pool2d(full[:, :3], (2, 2))),
+            atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(skip), np.asarray(full[:, 3:]), atol=2e-6
+        )
