@@ -284,15 +284,16 @@ class FusedConvPool2D(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     use_pallas: bool | None = None  # None: off (measured slower; see above)
-    # Even-dilation formulation: 'group' (parity planes stacked on channels,
-    # one feature_group_count=4 conv), 'parity4' (four separate quarter-grid
-    # convs + max), or 'unfused' (full-res conv + pool). Isolated-stage
-    # timings favor 'group' (526 vs 871/1400 us) but IN-MODEL the strided
-    # parity slices fuse into the conv input fetch while the grouped
-    # formulation's transpose materializes: flagship apply 1438 ('parity4')
-    # vs 1579 ('group') vs 1444 ('unfused') us -- so 'parity4' is the
-    # default (see BASELINE.md round 2+).
-    parity_impl: str = "parity4"
+    # Even-dilation formulation: 'auto' (width-dependent, see below),
+    # 'group' (parity planes stacked on channels, one
+    # feature_group_count=4 conv), 'parity4' (four separate quarter-grid
+    # convs + max), or 'unfused' (full-res conv + pool). Measured on v5e
+    # IN-MODEL (isolated-stage timings invert in context -- XLA fuses the
+    # strided parity slices into conv input fetches at narrow widths):
+    # flagship apply at W=144: parity4 1438 us < unfused 1444 < group
+    # 1579; at W=720: group 362 Mgp/s > unfused 287 > parity4 152. 'auto'
+    # picks parity4 for W <= _PARITY_MAX_W, group above it.
+    parity_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -330,16 +331,18 @@ class FusedConvPool2D(nn.Module):
             return fused_conv_pool(x, kernel, bias, dilation=dil[0])
         from dlwp_tpu.ops.conv import _PARITY_MAX_W
 
+        impl = self.parity_impl
+        if impl == "auto":
+            impl = "parity4" if x.shape[-1] <= _PARITY_MAX_W else "group"
         if (
             dil[0] % 2 == 0
             and dil[1] % 2 == 0
             and x.shape[-1] % 2 == 0
             and x.shape[-2] % 2 == 0
-            and x.shape[-1] <= _PARITY_MAX_W
             and self.activation in _MONOTONE_ACTIVATIONS
-            and self.parity_impl != "unfused"
+            and impl != "unfused"
         ):
-            if self.parity_impl == "parity4":
+            if impl == "parity4":
                 half_dil = (dil[0] // 2, dil[1] // 2)
                 m = None
                 for pr in (0, 1):
@@ -418,14 +421,13 @@ class SplitConvPool2D(nn.Module):
             cyclic_conv2d(x, kernel[self.keep :], dilation=dil),
             None if bias is None else bias[self.keep :],
         )
-        from dlwp_tpu.ops.conv import _PARITY_MAX_W, conv_pool2_even_dilation
+        from dlwp_tpu.ops.conv import conv_pool2_even_dilation
 
         if (
             dil[0] % 2 == 0
             and dil[1] % 2 == 0
             and x.shape[-1] % 2 == 0
             and x.shape[-2] % 2 == 0
-            and x.shape[-1] <= _PARITY_MAX_W
             and self.activation in _MONOTONE_ACTIVATIONS
         ):
             pooled = finish(

@@ -124,8 +124,11 @@ def cyclic_conv2d_edgefix(
     return y.reshape(batch_shape + y.shape[1:])
 
 
-# Widest full-resolution longitude at which the parity decompositions pay
-# off on v5e (they win at the canonical 144, lose at 720; see BASELINE.md).
+# Width threshold for the entry conv+pool formulation choice: the
+# four-separate-conv parity form wins at the canonical 144 (strided
+# slices fuse into conv input fetches) while the grouped channel-stacked
+# form wins at 720 (362 vs 152 Mgp/s; see BASELINE.md). The dense
+# upsample collapse below wins at ALL widths and carries no gate.
 _PARITY_MAX_W = 512
 
 
@@ -164,15 +167,6 @@ def conv_after_upsample2(
             cyclic_conv2d(a, kernel, precision=precision), (2, 2)
         )
     if dil != (1, 1) or kh != kw or kh % 2 == 0 or kh > 5:
-        from dlwp_tpu.ops.pooling import upsample2d
-
-        return cyclic_conv2d(
-            upsample2d(a, (2, 2)), kernel, dilation=dil, precision=precision
-        )
-    if 2 * a.shape[-1] > _PARITY_MAX_W:
-        # At wide grids the interleave reshapes cost more than the
-        # avoided full-resolution traffic (measured at 180x720,
-        # BASELINE.md round 2): materialize the upsample instead.
         from dlwp_tpu.ops.pooling import upsample2d
 
         return cyclic_conv2d(
