@@ -156,6 +156,161 @@ def _overlap_kernel(
     lax.fori_loop(0, B, edges, 0)
 
 
+def _overlap_kernel_db(
+    *args, axis_name: str, data_axis: str | None, chunk: int, nchunks: int,
+):
+    """Double-buffered variant for blocks too large for one VMEM mirror.
+
+    One remote halo exchange for the WHOLE batch (the XLA-level fallback
+    re-exchanged per chunk), then a software pipeline over batch chunks:
+    while chunk j computes on the MXU, chunk j+1 stages HBM -> VMEM and
+    chunk j-1's output stores VMEM -> HBM.
+
+    The chunks arrive as SEPARATE whole HBM refs (pre-split by XLA) and
+    the pipeline is python-unrolled over them: Mosaic requires memref
+    slices to be lane-tile-aligned (128), which arbitrary nlon (e.g. the
+    canonical 144) is not -- so no ref is ever sliced, mirroring the
+    whole-ref-DMA design of the other halo kernels.
+    """
+    xs = args[:nchunks]
+    edges_hbm, k_ref = args[nchunks], args[nchunks + 1]
+    ys = args[nchunks + 2 : 2 * nchunks + 2]
+    (xbuf, ybuf, halo_n, halo_s,
+     stage_sem, store_sem, send_sem, recv_sem) = args[2 * nchunks + 2 :]
+    my = lax.axis_index(axis_name)
+    n = jnp.int32(lax.psum(1, axis_name))
+    H = xs[0].shape[0]
+
+    if data_axis is not None:
+        dat = lax.axis_index(data_axis)
+        dev_down = (dat, lax.rem(my + 1, n))
+        dev_up = (dat, lax.rem(my - 1 + n, n))
+    else:
+        dev_down = lax.rem(my + 1, n)
+        dev_up = lax.rem(my - 1 + n, n)
+
+    down = pltpu.make_async_remote_copy(
+        src_ref=edges_hbm, dst_ref=halo_n,
+        send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
+        device_id=dev_down, device_id_type=pltpu.DeviceIdType.MESH,
+    )
+    up = pltpu.make_async_remote_copy(
+        src_ref=edges_hbm, dst_ref=halo_s,
+        send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
+        device_id=dev_up, device_id_type=pltpu.DeviceIdType.MESH,
+    )
+    down.start()
+    up.start()
+
+    def x_copy(j):
+        return pltpu.make_async_copy(
+            xs[j], xbuf.at[j % 2], stage_sem.at[j % 2]
+        )
+
+    def y_copy(j):
+        return pltpu.make_async_copy(
+            ybuf.at[j % 2], ys[j], store_sem.at[j % 2]
+        )
+
+    x_copy(0).start()
+    kmats = k_ref[:]  # (3, O, 3C)
+    # The remote edge rows overlap chunk 0's staging; with multiple chunks
+    # in flight the ICI latency is fully hidden behind the pipeline.
+    down.wait()
+    up.wait()
+
+    for j in range(nchunks):  # static unroll: all slots/refs static
+        slot = j % 2
+        x_copy(j).wait()
+        if j + 1 < nchunks:
+            x_copy(j + 1).start()
+        if j >= 2:
+            y_copy(j - 2).wait()
+
+        def interior(i, _, slot=slot):
+            b = i // (H - 2)
+            h = 1 + i % (H - 2)
+            ybuf[slot, h, b] = _row_conv(
+                xbuf[slot, h - 1, b], xbuf[slot, h, b], xbuf[slot, h + 1, b],
+                kmats,
+            )
+            return 0
+
+        lax.fori_loop(0, chunk * (H - 2), interior, 0)
+
+        def edges(b, _, j=j, slot=slot):
+            bg = j * chunk + b
+            north = jnp.where(my == 0, 0.0, halo_n[1, bg])
+            south = jnp.where(my == n - 1, 0.0, halo_s[0, bg])
+            ybuf[slot, 0, b] = _row_conv(
+                north, xbuf[slot, 0, b], xbuf[slot, 1, b], kmats
+            )
+            ybuf[slot, H - 1, b] = _row_conv(
+                xbuf[slot, H - 2, b], xbuf[slot, H - 1, b], south, kmats
+            )
+            return 0
+
+        lax.fori_loop(0, chunk, edges, 0)
+        y_copy(j).start()
+
+    for back in (2, 1):  # drain the last stores
+        if nchunks - back >= 0:
+            y_copy(nchunks - back).wait()
+
+
+def _overlap_local_db(x, kernel, axis_name, data_axis, chunk, interpret=False):
+    """Pipelined per-shard stencil for blocks beyond one VMEM mirror."""
+    B, C, H, W = x.shape
+    O = kernel.shape[0]
+    nchunks = -(-B // chunk)
+    pad_b = nchunks * chunk - B
+    xt = jnp.transpose(x, (2, 0, 1, 3)).astype(jnp.float32)  # (H, B, C, W)
+    if pad_b:
+        xt = jnp.pad(xt, ((0, 0), (0, pad_b), (0, 0), (0, 0)))
+    Bp = xt.shape[1]
+    edges = jnp.stack([xt[0], xt[H - 1]])
+    x_chunks = [
+        xt[:, j * chunk : (j + 1) * chunk] for j in range(nchunks)
+    ]
+    kmat = jnp.transpose(
+        jnp.transpose(kernel, (3, 2, 1, 0)).reshape(3, 3 * C, O), (0, 2, 1)
+    )
+    kern = partial(
+        _overlap_kernel_db, axis_name=axis_name, data_axis=data_axis,
+        chunk=chunk, nchunks=nchunks,
+    )
+    y_chunks = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, chunk, O, W), jnp.float32)
+            for _ in range(nchunks)
+        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * (nchunks + 1)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        ] * nchunks,
+        scratch_shapes=[
+            pltpu.VMEM((2, H, chunk, C, W), jnp.float32),
+            pltpu.VMEM((2, H, chunk, O, W), jnp.float32),
+            pltpu.VMEM((2, Bp, C, W), jnp.float32),
+            pltpu.VMEM((2, Bp, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*x_chunks, edges, kmat.astype(jnp.float32))
+    yt = jnp.concatenate(y_chunks, axis=1)
+    if pad_b:
+        yt = yt[:, :B]
+    return jnp.transpose(yt, (1, 2, 0, 3))
+
+
 # Kernel scratch (x mirror + halo buffers) is capped by the 16M scoped-vmem
 # limit; XLA-visible VMEM operands (y out) draw on the 128M pool.
 _SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
@@ -185,6 +340,17 @@ def _overlap_local(x, kernel, axis_name, data_axis, interpret=False):
         _VMEM_BUDGET_BYTES // max(total_per_sample, 1),
     ))
     if B > max_b:
+        # Batch beyond one VMEM mirror: software-pipelined kernel (ONE
+        # halo exchange for the whole batch; stage/compute/store of
+        # successive chunks overlap via double buffering).
+        halo_bytes = 4 * B * C * w_pad * 4
+        per_chunk = 2 * H * (C + O) * w_pad * 4
+        chunk = max(1, (_SCOPED_VMEM_BUDGET - halo_bytes) // per_chunk)
+        if chunk >= 1 and halo_bytes < _SCOPED_VMEM_BUDGET // 2:
+            return _overlap_local_db(
+                x, kernel, axis_name, data_axis, min(chunk, B), interpret
+            )
+        # Degenerate fallback (enormous B*C*W halo buffers): XLA chunking.
         n_chunks = -(-B // max_b)
         size = -(-B // n_chunks)
         outs = [

@@ -10,7 +10,7 @@ import optax
 from jax import lax
 
 from dlwp_tpu.models import build_sequential
-from dlwp_tpu.ops.losses import latitude_weighted_mse
+from dlwp_tpu.ops.losses import latitude_weighted_loss, mse
 from __graft_entry__ import _tower_specs
 
 B, H, W = 64, 36, 144
@@ -23,12 +23,13 @@ def main():
     x = jnp.asarray(rng.randn(B, 6, H, W), jnp.float32)
     y = jnp.asarray(rng.randn(B, 4, H, W), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
-    lats = jnp.linspace(87.5, -87.5, H)
+    lats = np.linspace(87.5, -87.5, H)
+    lw_loss = latitude_weighted_loss(mse, lats)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
     def loss_fn(p, xb, yb):
-        return latitude_weighted_mse(model.apply(p, xb), yb, lats)
+        return lw_loss(yb, model.apply(p, xb))
 
     def train_step(carry, _):
         p, s = carry

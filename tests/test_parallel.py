@@ -492,6 +492,34 @@ class TestOverlappedStencil:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-5)
 
+    def test_double_buffered_pipeline_matches_oracle(self, monkeypatch):
+        """The software-pipelined (double-buffered) kernel path, forced by
+        shrinking the scoped-vmem budget, must match the oracle -- incl. a
+        batch that does not divide the chunk (padding path)."""
+        require_devices(8)
+        from jax.sharding import Mesh
+        import dlwp_tpu.parallel.pallas_overlap as po
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("lat",))
+        k = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 3, 3),
+                              dtype=jnp.float32) * 0.1
+        for B in (6, 5):
+            x = jax.random.normal(jax.random.PRNGKey(B), (B, 3, 16, 24),
+                                  dtype=jnp.float32)
+            expect = cyclic_conv2d(x, k)
+            xs = jax.device_put(
+                x, NamedSharding(mesh, P(None, None, "lat", None))
+            )
+            # Budget forces B > max_b -> pipelined path, chunk=1 (B chunks
+            # in flight; B=5 additionally exercises the pad path).
+            monkeypatch.setattr(po, "_SCOPED_VMEM_BUDGET", 40 * 1024)
+            out = po.overlapped_cyclic_conv2d(
+                xs, k, mesh, data_axis=None, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(expect), atol=1e-5
+            )
+
     def test_two_shard_minimum_rows(self):
         require_devices(2)
         from jax.sharding import Mesh
