@@ -108,6 +108,9 @@ class DLWPNeuralNet:
                     mesh=mesh,
                     data_axis=data_axis,
                     lat_axis=lat_axes[0],
+                    # A second sharded feature axis is the longitude tile
+                    # axis (2-D lat x lon decomposition, cyclic lon ring).
+                    lon_axis=lat_axes[1] if len(lat_axes) > 1 else None,
                     impl=spatial_impl,
                 )
         self._spatial = spatial

@@ -68,12 +68,14 @@ def multihost_mesh(
     from jax.experimental import mesh_utils
 
     config = config or MeshConfig()
-    d, l = config.resolve(jax.device_count())
+    d, l, lo = config.resolve(jax.device_count())
+    shape = (d, l, lo) if lo > 1 else (d, l)
+    names = ("data", ici_axis, "lon") if lo > 1 else ("data", ici_axis)
     try:
-        devices = mesh_utils.create_device_mesh((d, l))
+        devices = mesh_utils.create_device_mesh(shape)
     except Exception:
-        devices = np.asarray(jax.devices()).reshape(d, l)
-    return Mesh(devices, ("data", ici_axis))
+        devices = np.asarray(jax.devices()).reshape(shape)
+    return Mesh(devices, names)
 
 
 def is_primary() -> bool:

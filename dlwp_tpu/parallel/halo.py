@@ -62,12 +62,72 @@ def halo_exchange_lat(
     return jnp.concatenate(parts, axis=lat_axis)
 
 
-def _local_cyclic_conv(x, kernel, halo, axis_name, dilation):
-    """Per-shard stencil: lat halo exchange + local wrap-pad + VALID conv."""
+def halo_exchange_lon(
+    x: jax.Array,
+    halo: tuple[int, int],
+    axis_name: str = "lon",
+    lon_axis: int = -1,
+) -> jax.Array:
+    """Exchange longitude halos between neighboring shards (periodic ring).
+
+    Must be called inside ``shard_map`` over ``axis_name``. Unlike the
+    latitude exchange, the permutation is CYCLIC -- the last lon shard is
+    the western neighbor of the first -- realizing the spherical periodic
+    boundary as a collective-permute ring over ICI (SURVEY.md section 5.8;
+    the distributed form of the reference's PeriodicPadding2D,
+    custom.py:139-214). Returns the local block extended by
+    ``halo = (left, right)`` columns.
+    """
+    left, right = halo
+    n = _axis_size(axis_name)
+    W = x.shape[lon_axis]
+    parts = []
+    if left > 0:
+        # Receive the rightmost columns of the western neighbor: shard i
+        # sends east to (i + 1) mod n. With a single shard the ring
+        # degenerates to the local periodic wrap.
+        send = lax.slice_in_dim(x, W - left, W, axis=lon_axis)
+        if n > 1:
+            send = lax.ppermute(
+                send, axis_name, [(i, (i + 1) % n) for i in range(n)]
+            )
+        parts.append(send)
+    parts.append(x)
+    if right > 0:
+        send = lax.slice_in_dim(x, 0, right, axis=lon_axis)
+        if n > 1:
+            send = lax.ppermute(
+                send, axis_name, [(i, (i - 1) % n) for i in range(n)]
+            )
+        parts.append(send)
+    return jnp.concatenate(parts, axis=lon_axis)
+
+
+def _local_cyclic_conv(
+    x, kernel, halo, axis_name, dilation, lon_axis_name=None
+):
+    """Per-shard stencil: lat halo exchange + longitude wrap + VALID conv.
+
+    The longitude wrap is a local pad when longitude is whole within the
+    shard, or a cyclic ppermute ring when it is sharded over
+    ``lon_axis_name``. The lat exchange runs FIRST so the lon exchange
+    (operating on the row-extended block) carries the corner cells too.
+    """
     top, bot = halo
     x = halo_exchange_lat(x, halo, axis_name=axis_name)
     ew = (kernel.shape[-1] - 1) * dilation[1]
+    if lon_axis_name is not None:
+        return _valid_conv(
+            halo_exchange_lon(
+                x, (ew // 2, ew - ew // 2), axis_name=lon_axis_name
+            ),
+            kernel, dilation,
+        )
     x = pad_periodic(x, ((0, 0), (ew // 2, ew - ew // 2)))
+    return _valid_conv(x, kernel, dilation)
+
+
+def _valid_conv(x, kernel, dilation):
     batch_shape = x.shape[:-3]
     x4 = x.reshape((-1,) + x.shape[-3:])
     out = lax.conv_general_dilated(
@@ -88,23 +148,27 @@ def sharded_cyclic_conv2d(
     dilation: tuple[int, int] = (1, 1),
     data_axis: str | None = "data",
     lat_axis_name: str = "lat",
+    lon_axis_name: str | None = None,
 ) -> jax.Array:
-    """cyclic_conv2d under latitude-band domain decomposition.
+    """cyclic_conv2d under 1-D (lat-band) or 2-D (lat x lon tile) domain
+    decomposition.
 
     ``x`` is (B, C, H, W) sharded (batch over ``data_axis``, H over
-    ``lat_axis_name``); the kernel is replicated. Produces identically
-    sharded output. Numerically identical to the single-device
+    ``lat_axis_name``, and optionally W over ``lon_axis_name``); the kernel
+    is replicated. Produces identically sharded output. Numerically
+    identical to the single-device
     :func:`dlwp_tpu.ops.conv.cyclic_conv2d` with ``lat_mode='zero'``.
     """
     kh = kernel.shape[-2]
     eh = (kh - 1) * dilation[0]
     halo = (eh // 2, eh - eh // 2)
-    spec = P(data_axis, None, lat_axis_name, None)
+    spec = P(data_axis, None, lat_axis_name, lon_axis_name)
     fn = partial(
         _local_cyclic_conv,
         halo=halo,
         axis_name=lat_axis_name,
         dilation=dilation,
+        lon_axis_name=lon_axis_name,
     )
     return jax.shard_map(
         fn,

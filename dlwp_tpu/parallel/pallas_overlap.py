@@ -29,8 +29,12 @@ each block fits VMEM.
 Measured (TPU v5e, 1 chip): at (8, 32, 40, 256) fp32, 0.81 ms vs 0.77 ms
 for the XLA conv; at the canonical (8, 32, 36, 144) the kernel verifies to
 2e-7 relative on a degenerate (data=1, lat=1) 2-D MESH (exercising the
-device-id addressing) at XLA-conv parity. On a multi-chip mesh the halo
-DMA latency is additionally hidden behind interior compute. Interpret-mode
+device-id addressing) at XLA-conv parity. The double-buffered pipeline for
+blocks beyond one VMEM mirror verifies to 2e-7 on hardware at
+(256, 32, 36, 144) but runs 3.9x slower than the XLA conv single-chip
+(10.1 vs 2.6 ms: per-row matmuls are MXU-starved and one chip has no ICI
+latency to hide) -- 'overlap' is the opt-in impl for multi-chip meshes
+where the exchange cost dominates, not a single-chip win. Interpret-mode
 tests validate the multi-shard exchange on an 8-device mesh.
 """
 
@@ -175,8 +179,12 @@ def _overlap_kernel_db(
     xs = args[:nchunks]
     edges_hbm, k_ref = args[nchunks], args[nchunks + 1]
     ys = args[nchunks + 2 : 2 * nchunks + 2]
-    (xbuf, ybuf, halo_n, halo_s,
+    # The two pipeline slots are SEPARATE whole scratch refs (not a leading
+    # axis sliced with .at[slot]): Mosaic requires memref slices to keep
+    # 128-aligned lane extents, which arbitrary nlon (144) is not.
+    (xb0, xb1, yb0, yb1, halo_n, halo_s,
      stage_sem, store_sem, send_sem, recv_sem) = args[2 * nchunks + 2 :]
+    xbufs, ybufs = (xb0, xb1), (yb0, yb1)
     my = lax.axis_index(axis_name)
     n = jnp.int32(lax.psum(1, axis_name))
     H = xs[0].shape[0]
@@ -204,12 +212,12 @@ def _overlap_kernel_db(
 
     def x_copy(j):
         return pltpu.make_async_copy(
-            xs[j], xbuf.at[j % 2], stage_sem.at[j % 2]
+            xs[j], xbufs[j % 2], stage_sem.at[j % 2]
         )
 
     def y_copy(j):
         return pltpu.make_async_copy(
-            ybuf.at[j % 2], ys[j], store_sem.at[j % 2]
+            ybufs[j % 2], ys[j], store_sem.at[j % 2]
         )
 
     x_copy(0).start()
@@ -227,26 +235,25 @@ def _overlap_kernel_db(
         if j >= 2:
             y_copy(j - 2).wait()
 
-        def interior(i, _, slot=slot):
+        xb, yb = xbufs[slot], ybufs[slot]
+
+        def interior(i, _, xb=xb, yb=yb):
             b = i // (H - 2)
             h = 1 + i % (H - 2)
-            ybuf[slot, h, b] = _row_conv(
-                xbuf[slot, h - 1, b], xbuf[slot, h, b], xbuf[slot, h + 1, b],
-                kmats,
+            yb[h, b] = _row_conv(
+                xb[h - 1, b], xb[h, b], xb[h + 1, b], kmats
             )
             return 0
 
         lax.fori_loop(0, chunk * (H - 2), interior, 0)
 
-        def edges(b, _, j=j, slot=slot):
+        def edges(b, _, j=j, xb=xb, yb=yb):
             bg = j * chunk + b
             north = jnp.where(my == 0, 0.0, halo_n[1, bg])
             south = jnp.where(my == n - 1, 0.0, halo_s[0, bg])
-            ybuf[slot, 0, b] = _row_conv(
-                north, xbuf[slot, 0, b], xbuf[slot, 1, b], kmats
-            )
-            ybuf[slot, H - 1, b] = _row_conv(
-                xbuf[slot, H - 2, b], xbuf[slot, H - 1, b], south, kmats
+            yb[0, b] = _row_conv(north, xb[0, b], xb[1, b], kmats)
+            yb[H - 1, b] = _row_conv(
+                xb[H - 2, b], xb[H - 1, b], south, kmats
             )
             return 0
 
@@ -293,8 +300,10 @@ def _overlap_local_db(x, kernel, axis_name, data_axis, chunk, interpret=False):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         ] * nchunks,
         scratch_shapes=[
-            pltpu.VMEM((2, H, chunk, C, W), jnp.float32),
-            pltpu.VMEM((2, H, chunk, O, W), jnp.float32),
+            pltpu.VMEM((H, chunk, C, W), jnp.float32),
+            pltpu.VMEM((H, chunk, C, W), jnp.float32),
+            pltpu.VMEM((H, chunk, O, W), jnp.float32),
+            pltpu.VMEM((H, chunk, O, W), jnp.float32),
             pltpu.VMEM((2, Bp, C, W), jnp.float32),
             pltpu.VMEM((2, Bp, C, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -311,10 +320,15 @@ def _overlap_local_db(x, kernel, axis_name, data_axis, chunk, interpret=False):
     return jnp.transpose(yt, (1, 2, 0, 3))
 
 
-# Kernel scratch (x mirror + halo buffers) is capped by the 16M scoped-vmem
-# limit; XLA-visible VMEM operands (y out) draw on the 128M pool.
+# Everything the kernel holds in VMEM -- scratch (x mirror + halo buffers)
+# AND the pallas_call's VMEM-spec'd operands (the y output block) -- draws
+# on the 16M scoped-vmem stack on current toolchains (measured: a B=11
+# C=O=32 chunk was billed 26.12M = mirror + out + halos and rejected).
 _SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+# The pipelined kernel is python-unrolled over batch chunks; cap the unroll
+# so Mosaic programs stay compilable for cheap-halo shapes (small C).
+_MAX_PIPELINE_CHUNKS = 32
 
 
 def _overlap_local(x, kernel, axis_name, data_axis, interpret=False):
@@ -333,24 +347,58 @@ def _overlap_local(x, kernel, axis_name, data_axis, interpret=False):
     # current toolchains (validated on v5e hardware; round 1's W % 128
     # restriction is obsolete). VMEM layouts pad W up to the 128 lane tile.
     w_pad = -(-W // 128) * 128
-    scratch_per_sample = (H * C + 4 * C) * w_pad * 4
-    total_per_sample = (H * (C + O) + 4 * C) * w_pad * 4
+    # Single-mirror kernel's scoped bill: x mirror + y out block + 2x2 halo
+    # receive rows (all per sample, w_pad lanes, fp32).
+    scratch_per_sample = (H * (C + O) + 4 * C) * w_pad * 4
     max_b = max(1, min(
         _SCOPED_VMEM_BUDGET // max(scratch_per_sample, 1),
-        _VMEM_BUDGET_BYTES // max(total_per_sample, 1),
+        _VMEM_BUDGET_BYTES // max(scratch_per_sample, 1),
     ))
     if B > max_b:
         # Batch beyond one VMEM mirror: software-pipelined kernel (ONE
-        # halo exchange for the whole batch; stage/compute/store of
-        # successive chunks overlap via double buffering).
-        halo_bytes = 4 * B * C * w_pad * 4
+        # remote halo exchange for the whole block; stage/compute/store of
+        # successive chunks overlap via double buffering). Its scoped bill:
+        # 2 slots x chunk x (mirror + out) + whole-block halo buffers.
+        halo_per_sample = 4 * C * w_pad * 4
         per_chunk = 2 * H * (C + O) * w_pad * 4
-        chunk = max(1, (_SCOPED_VMEM_BUDGET - halo_bytes) // per_chunk)
-        if chunk >= 1 and halo_bytes < _SCOPED_VMEM_BUDGET // 2:
-            return _overlap_local_db(
-                x, kernel, axis_name, data_axis, min(chunk, B), interpret
+        # Largest piece whose halos fit half the budget AND leave room for
+        # at least one double-buffered chunk.
+        size = min(
+            B,
+            (_SCOPED_VMEM_BUDGET // 2) // max(halo_per_sample, 1),
+            max(0, _SCOPED_VMEM_BUDGET - per_chunk) // max(halo_per_sample, 1),
+        )
+        chunk = 0
+        if size > max_b:
+            chunk = min(
+                size,
+                (_SCOPED_VMEM_BUDGET - halo_per_sample * size) // per_chunk,
             )
-        # Degenerate fallback (enormous B*C*W halo buffers): XLA chunking.
+            # Bound the python-unrolled pipeline length (small-C shapes have
+            # cheap halos and would otherwise unroll hundreds of chunks).
+            size = min(size, _MAX_PIPELINE_CHUNKS * chunk)
+            # Re-fit chunk for the final size, padding allowance included
+            # (Bp = nchunks * chunk >= size).
+            while chunk > 1:
+                nck = -(-size // chunk)
+                if (per_chunk * chunk
+                        + halo_per_sample * nck * chunk) <= _SCOPED_VMEM_BUDGET:
+                    break
+                chunk -= 1
+        if size > max_b and chunk >= 1:
+            if size >= B:
+                return _overlap_local_db(
+                    x, kernel, axis_name, data_axis, min(chunk, B), interpret
+                )
+            outs = [
+                _overlap_local_db(
+                    x[i : i + size], kernel, axis_name, data_axis,
+                    min(chunk, x[i : i + size].shape[0]), interpret,
+                )
+                for i in range(0, B, size)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        # Degenerate fallback: XLA chunking at the single-mirror size.
         n_chunks = -(-B // max_b)
         size = -(-B // n_chunks)
         outs = [

@@ -38,6 +38,12 @@ class SpatialSharding:
             ``data_axis``).
         data_axis: mesh axis for batch sharding, or None for pure spatial.
         lat_axis: mesh axis the latitude dimension is sharded over.
+        lon_axis: optional mesh axis the longitude dimension is sharded
+            over (2-D lat x lon domain decomposition). The periodic
+            boundary becomes a cyclic ppermute ring (SURVEY.md section 5.8)
+            and the lat exchange runs first so corners ride along. The
+            Pallas impls are lat-band-only; lon-sharded convs always take
+            the ppermute path.
         impl: 'ppermute' (portable XLA collectives), 'pallas' (explicit
             ICI remote-DMA halo kernel + XLA conv; any kernel size and
             dilation -- the halo is a single contiguous multi-row DMA per
@@ -53,12 +59,19 @@ class SpatialSharding:
     mesh: Mesh
     data_axis: str | None = "data"
     lat_axis: str = "lat"
+    lon_axis: str | None = None
     impl: str = "ppermute"
     interpret: bool = False
 
     @property
     def lat_shards(self) -> int:
         return self.mesh.shape[self.lat_axis]
+
+    @property
+    def lon_shards(self) -> int:
+        if self.lon_axis is None:
+            return 1
+        return self.mesh.shape[self.lon_axis]
 
     @property
     def data_shards(self) -> int:
@@ -69,24 +82,25 @@ class SpatialSharding:
     def activation_spec(self, ndim: int) -> P:
         """PartitionSpec for an (..., C, H, W) activation of rank ndim."""
         lead: tuple = (self.data_axis,) + (None,) * (ndim - 4)
-        return P(*lead, None, self.lat_axis, None)
+        return P(*lead, None, self.lat_axis, self.lon_axis)
 
     # ------------------------------------------------------------- dispatch
     def shardable(self, x_shape, kernel_shape, strides, dilation, lat_mode) -> bool:
         """Whether the explicit shard_map halo path applies to this conv.
 
         Conditions (all static, evaluated at trace time):
-        - more than one latitude shard (else the plain conv is the same op);
+        - more than one spatial shard (else the plain conv is the same op);
         - unit strides and zero-latitude boundaries (halo-exchange
           semantics deliver zeros on outer edges);
-        - H divides evenly over the lat shards, batch over the data shards;
-        - the halo fits inside one neighbor block (single-hop exchange).
+        - H / W divide evenly over the lat / lon shards, batch over the
+          data shards;
+        - each halo fits inside one neighbor block (single-hop exchange).
         """
-        if self.lat_shards <= 1:
+        if self.lat_shards <= 1 and self.lon_shards <= 1:
             return False
         if strides != (1, 1) or lat_mode != "zero":
             return False
-        H = x_shape[-2]
+        H, W = x_shape[-2], x_shape[-1]
         B = x_shape[0] if len(x_shape) >= 4 else 1
         if H % self.lat_shards or (self.data_axis and B % self.data_shards):
             return False
@@ -94,6 +108,12 @@ class SpatialSharding:
         halo = max(eh // 2, eh - eh // 2)
         if halo > H // self.lat_shards:
             return False
+        if self.lon_shards > 1:
+            if W % self.lon_shards:
+                return False
+            ew = (kernel_shape[-1] - 1) * dilation[1]
+            if max(ew // 2, ew - ew // 2) > W // self.lon_shards:
+                return False
         return True
 
     def conv(
@@ -109,7 +129,7 @@ class SpatialSharding:
             return cyclic_conv2d(
                 x, kernel, strides=strides, lat_mode=lat_mode, dilation=dilation
             )
-        if self.impl in ("pallas", "overlap"):
+        if self.impl in ("pallas", "overlap") and self.lon_shards <= 1:
             # Pallas kernels carry no autodiff rules: forward runs the
             # fast kernel, backward recomputes through the numerically
             # identical ppermute formulation (remat-style custom_vjp).
@@ -126,6 +146,7 @@ def _ppermute_conv(x, kernel, cfg: "SpatialSharding", dilation):
         halo=(eh // 2, eh - eh // 2),
         axis_name=cfg.lat_axis,
         dilation=dilation,
+        lon_axis_name=cfg.lon_axis if cfg.lon_shards > 1 else None,
     )
     spec = cfg.activation_spec(x.ndim)
     return jax.shard_map(

@@ -30,8 +30,10 @@ def require_devices(n):
 
 class TestMesh:
     def test_mesh_config_resolution(self):
-        assert MeshConfig(data=-1, lat=2).resolve(8) == (4, 2)
-        assert MeshConfig(data=2, lat=-1).resolve(8) == (2, 4)
+        assert MeshConfig(data=-1, lat=2).resolve(8) == (4, 2, 1)
+        assert MeshConfig(data=2, lat=-1).resolve(8) == (2, 4, 1)
+        assert MeshConfig(data=2, lat=2, lon=2).resolve(8) == (2, 2, 2)
+        assert MeshConfig(data=-1, lat=2, lon=2).resolve(8) == (2, 2, 2)
         with pytest.raises(ValueError):
             MeshConfig(data=3, lat=3).resolve(8)
 
@@ -62,6 +64,140 @@ class TestShardedConv:
         xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "lat", None)))
         out = sharded_cyclic_conv2d(xs, k, mesh, dilation=(2, 2), data_axis=None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-12)
+
+
+class TestLonSharding:
+    """2-D (lat x lon) tile decomposition: the periodic longitude boundary
+    as a cyclic ppermute ring (SURVEY.md section 5.8)."""
+
+    def test_lon_halo_ring_matches_wrap(self):
+        require_devices(4)
+        from jax.sharding import Mesh
+        from dlwp_tpu.parallel.halo import halo_exchange_lon
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("lon",))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 16))
+        out = jax.shard_map(
+            lambda a: halo_exchange_lon(a, (2, 1)),
+            mesh=mesh,
+            in_specs=P(None, None, None, "lon"),
+            out_specs=P(None, None, None, "lon"),
+        )(x)
+        # Each local 4-column block becomes 7 columns: 2 wrapped from the
+        # west, 1 from the east; globally that interleaves into blocks.
+        blocks = [
+            np.concatenate(
+                [
+                    np.asarray(x[..., (4 * i - 2) % 16 : (4 * i - 2) % 16 + 2]
+                               if i else x[..., -2:]),
+                    np.asarray(x[..., 4 * i : 4 * i + 4]),
+                    np.asarray(x[..., (4 * i + 4) % 16 : (4 * i + 4) % 16 + 1]),
+                ],
+                axis=-1,
+            )
+            for i in range(4)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(out), np.concatenate(blocks, axis=-1), atol=1e-12
+        )
+
+    @pytest.mark.parametrize(
+        "kshape,dilation",
+        [((3, 3), (1, 1)), ((3, 3), (2, 2)), ((5, 5), (1, 1))],
+    )
+    def test_2d_tile_conv_matches_single_device(self, kshape, dilation):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=2, lon=2))
+        assert mesh.shape == {"data": 2, "lat": 2, "lon": 2}
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 3, 16, 24))
+        k = jax.random.normal(jax.random.PRNGKey(5), (5, 3, *kshape)) * 0.1
+        expect = cyclic_conv2d(x, k, dilation=dilation)
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P("data", None, "lat", "lon"))
+        )
+        out = sharded_cyclic_conv2d(
+            xs, k, mesh, dilation=dilation, lon_axis_name="lon"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), atol=1e-12
+        )
+
+    def test_lon_only_sharding(self):
+        """Longitude-only decomposition (single lat band): the lat exchange
+        degenerates to zero boundaries, the lon ring does all the work."""
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=1, lat=1, lon=8))
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 2, 8, 32))
+        k = jax.random.normal(jax.random.PRNGKey(7), (4, 2, 3, 3)) * 0.1
+        expect = cyclic_conv2d(x, k)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, None, "lon")))
+        out = sharded_cyclic_conv2d(
+            xs, k, mesh, data_axis=None, lon_axis_name="lon"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), atol=1e-12
+        )
+
+    def test_spatial_sharding_lon_grad_matches(self):
+        """Gradients flow through the cyclic lon ring identically to the
+        single-device conv (ppermute transposes to the reverse ring)."""
+        require_devices(8)
+        from dlwp_tpu.parallel.spatial import SpatialSharding
+
+        mesh = build_mesh(MeshConfig(data=2, lat=2, lon=2))
+        cfg = SpatialSharding(mesh=mesh, lat_axis="lat", lon_axis="lon")
+        x = jax.random.normal(jax.random.PRNGKey(8), (4, 2, 8, 16))
+        k = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 3, 3)) * 0.1
+        assert cfg.shardable(x.shape, k.shape, (1, 1), (1, 1), "zero")
+
+        def loss_sharded(xx, kk):
+            xx = jax.lax.with_sharding_constraint(
+                xx, NamedSharding(mesh, cfg.activation_spec(4))
+            )
+            return jnp.sum(cfg.conv(xx, kk) ** 2)
+
+        def loss_single(xx, kk):
+            return jnp.sum(cyclic_conv2d(xx, kk) ** 2)
+
+        gx_s, gk_s = jax.grad(loss_sharded, argnums=(0, 1))(x, k)
+        gx_1, gk_1 = jax.grad(loss_single, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_1),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gk_s), np.asarray(gk_1),
+                                   atol=1e-10)
+
+    def test_lon_sharded_training_matches_single_device(self):
+        """Model-level 3-D mesh (data x lat x lon): build via
+        DLWPNeuralNet.build_model with a 2-D-spatial batch_spec; loss
+        history and rollout match the single-device oracle."""
+        require_devices(8)
+        from dlwp_tpu.models import DLWPNeuralNet
+
+        mesh = build_mesh(MeshConfig(data=2, lat=2, lon=2))
+        x = np.random.RandomState(0).randn(4, 2, 8, 16).astype(np.float32)
+        y = np.roll(x, 1, axis=-1)
+
+        def make(mesh=None, batch_spec=None):
+            dlwp = DLWPNeuralNet(scaler_type=None)
+            dlwp.build_model(
+                [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+                 ("CyclicConv2D", (2, 3), {"activation": "linear"})],
+                learning_rate=3e-3, mesh=mesh, batch_spec=batch_spec,
+            )
+            return dlwp
+
+        sharded = make(mesh, P("data", None, "lat", "lon"))
+        assert sharded._spatial is not None
+        assert sharded._spatial.lon_axis == "lon"
+        hist_s = sharded.fit(x, y, epochs=3, batch_size=4, verbose=False)
+        single = make()
+        hist_1 = single.fit(x, y, epochs=3, batch_size=4, verbose=False)
+        np.testing.assert_allclose(
+            hist_s.history["loss"], hist_1.history["loss"], rtol=2e-5
+        )
+        ts_s = sharded.predict_timeseries(x[:2], 3)
+        ts_1 = single.predict_timeseries(x[:2], 3)
+        np.testing.assert_allclose(ts_s, ts_1, rtol=2e-4, atol=1e-5)
 
 
 class TestShardedSpectral:
