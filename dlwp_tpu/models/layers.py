@@ -185,6 +185,13 @@ class ConvLSTM2D(nn.Module):
     lat_mode: str = "zero"
     dtype: Any = None
     spatial: Any = None  # as in CyclicConv2D; applies to both convolutions
+    gate_dtype: Any = None  # e.g. jnp.bfloat16: compute the gate chain
+    # (activations + products) in this dtype, carry stays fp32. The gate
+    # elementwise chain is VPU-bound (transcendental rate is
+    # dtype-independent but HBM traffic halves): measured on v5e at the
+    # canonical config this cuts the recurrent step 3241 -> 2794 us (-14%)
+    # at ~0.2% relative h/c deviation over a 16-step scan (BASELINE.md).
+    # None (default) = exact fp32 path; golden fixtures unchanged.
 
     @nn.compact
     def __call__(self, x):
@@ -222,13 +229,24 @@ class ConvLSTM2D(nn.Module):
             x.reshape(B * T, C, H, W), Wx, dilation=dil
         ).reshape(B, T, 4 * F, H, W)
 
+        gd = self.gate_dtype
+
+        def gates(z, c):
+            if gd is not None:
+                z = z.astype(gd)
+            i, f, g, o = jnp.split(z, 4, axis=-3)
+            if gd is None:
+                c_new = r_act(f) * c + r_act(i) * act(g)
+                h_new = r_act(o) * act(c_new)
+                return h_new, c_new
+            c_new = (r_act(f) * c.astype(gd) + r_act(i) * act(g)).astype(c.dtype)
+            h_new = (r_act(o) * act(c_new.astype(gd))).astype(c.dtype)
+            return h_new, c_new
+
         def step(carry, zx):
             h, c = carry
             zh = conv(h, Wh)
-            z = zx + zh + bias[..., :, None, None]
-            i, f, g, o = jnp.split(z, 4, axis=-3)
-            c_new = r_act(f) * c + r_act(i) * act(g)
-            h_new = r_act(o) * act(c_new)
+            h_new, c_new = gates(zx + zh + bias[..., :, None, None], c)
             return (h_new, c_new), h_new
 
         # Scan over time: move T to the front.
@@ -239,9 +257,14 @@ class ConvLSTM2D(nn.Module):
         # is compiled once and cannot exploit h0 = 0; measured 896 us per
         # h-conv at batch 64 on v5e, BASELINE.md).
         z0 = zxs[0] + bias[..., :, None, None]
+        if gd is not None:
+            z0 = z0.astype(gd)
         i0, _, g0, o0 = jnp.split(z0, 4, axis=-3)
         c1 = r_act(i0) * act(g0)
         h1 = r_act(o0) * act(c1)
+        if gd is not None:
+            c1 = c1.astype(zxs.dtype)
+            h1 = h1.astype(zxs.dtype)
         if T == 1:
             h_last, hs = h1, h1[None]
         else:

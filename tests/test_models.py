@@ -60,6 +60,25 @@ class TestLayers:
         p2 = m2.init(jax.random.PRNGKey(0), x)
         assert m2.apply(p2, x).shape == (2, 6, 8, 16)
 
+    def test_convlstm_gate_dtype(self):
+        # gate_dtype='bfloat16' is a measured serving option (BASELINE.md:
+        # -14% recurrent-step time on v5e): the gate elementwise chain runs
+        # in bf16, the carry stays fp32. Same params, close trajectories,
+        # fp32 output dtype.
+        m32 = ConvLSTM2D(features=6, kernel_size=3)
+        mbf = ConvLSTM2D(features=6, kernel_size=3, gate_dtype="bfloat16")
+        x = rand(2, 5, 3, 8, 16)
+        params = m32.init(jax.random.PRNGKey(0), x)
+        y32 = m32.apply(params, x)
+        ybf = mbf.apply(params, x)
+        assert ybf.dtype == jnp.float32
+        rms = float(jnp.sqrt(jnp.mean((y32 - ybf) ** 2)))
+        mag = float(jnp.sqrt(jnp.mean(y32**2)))
+        assert rms < 0.02 * mag, (rms, mag)
+        # it must actually differ (bf16 rounding) -- guards against the
+        # option silently not being applied
+        assert rms > 0.0
+
     def test_convlstm_temporal_dependence(self):
         # Output at t must depend on inputs at t' <= t only.
         m = ConvLSTM2D(features=4, kernel_size=3)
