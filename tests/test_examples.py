@@ -64,6 +64,8 @@ class TestExampleWorkflows:
         assert "nomads.ncdc.noaa.gov" in out
         out = run_example("retrieve_era5.py", "--dry-run")
         assert "reanalysis" in out
+        out = run_example("write_cfs_reforecast.py", "--dry-run")
+        assert "cfsr-rfl-ts45" in out and "z500" in out
 
     def test_validate(self, tmp_path):
         out = run_example(
