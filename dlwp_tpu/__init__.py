@@ -23,6 +23,7 @@ Subpackages
 - :mod:`dlwp_tpu.train`      -- training loop, checkpointing, callbacks
 - :mod:`dlwp_tpu.forecast`   -- autoregressive rollout + verification
 - :mod:`dlwp_tpu.parallel`   -- meshes, shardings, halo exchange
+- :mod:`dlwp_tpu.serve`      -- AOT compiled-program export for serving
 - :mod:`dlwp_tpu.utils`      -- serialization, reflection, misc helpers
 """
 
@@ -44,6 +45,8 @@ def __getattr__(name):
         "ExperimentConfig": "dlwp_tpu.config",
         "save_model": "dlwp_tpu.utils",
         "load_model": "dlwp_tpu.utils",
+        "Servable": "dlwp_tpu.serve",
+        "export_rollout": "dlwp_tpu.serve",
     }
     if name in _MAP:
         import importlib

@@ -12,7 +12,7 @@ from dlwp_tpu.models.layers import (
     get_activation,
 )
 from dlwp_tpu.models.cnn import SequentialModel, build_sequential, LAYER_REGISTRY
-from dlwp_tpu.models.api import DLWPNeuralNet, DLWPFunctional
+from dlwp_tpu.models.api import DLWPNeuralNet, DLWPFunctional, shape_series
 from dlwp_tpu.models.unet import SkipTower, SliceChannels
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "LAYER_REGISTRY",
     "DLWPNeuralNet",
     "DLWPFunctional",
+    "shape_series",
     "SkipTower",
     "SliceChannels",
 ]

@@ -24,6 +24,30 @@ from dlwp_tpu.train.trainer import TrainConfig, Trainer
 from dlwp_tpu.utils.scaler import SCALERS, MeanImputer
 
 
+def shape_series(ts, time_dim, feature_shape, step_sequence=False,
+                 keep_time_dim=False):
+    """Apply the reference's rollout output-shaping rules (models.py:277-301)
+    to a raw prediction series of shape ``(n_iter, batch) + ...``.
+
+    Pure host-side shape manipulation (views where possible), shared by
+    :meth:`DLWPNeuralNet.predict_timeseries` and exported servables
+    (:mod:`dlwp_tpu.serve`).
+    """
+    ts = np.asarray(ts)
+    n_iter, b = ts.shape[:2]
+    td = time_dim
+    ts = ts.reshape((n_iter, b, td, -1) + tuple(feature_shape[1:]))
+    if not keep_time_dim:
+        if step_sequence:
+            ts = ts[:, :, 0]
+        else:
+            ts = ts.transpose(
+                (0, 2, 1) + tuple(range(3, 3 + len(feature_shape)))
+            )
+            ts = ts.reshape((n_iter * td, b, -1) + tuple(feature_shape[1:]))
+    return ts
+
+
 class DLWPNeuralNet:
     """DLWP neural-net wrapper (reference models.py:21).
 
@@ -211,6 +235,60 @@ class DLWPNeuralNet:
             return self.scaler_y.inverse_transform(pred)
         return pred
 
+    def rollout_fn(self, time_steps: int, step_sequence: bool = False):
+        """Build the jittable autoregressive rollout (models.py:247-301).
+
+        Returns ``(fn, n_iter)``: ``fn`` maps a (scaled) predictor batch to
+        the raw prediction series ``(n_iter, batch, ...)`` as a single
+        ``lax.scan``; per scan step the model predicts and either the whole
+        state is replaced by the prediction (default) or a sliding window
+        advances one time step (``step_sequence``, models.py:280-290).
+
+        The function closes over the trained parameters, and every shape it
+        computes derives from ``x.shape`` at trace time -- so it is
+        batch-symbolic-shape friendly and can be AOT-exported for serving
+        (:mod:`dlwp_tpu.serve`).
+        """
+        time_steps = int(time_steps)
+        if time_steps < 1:
+            raise ValueError("time_steps must be an int > 0")
+        n_iter = (
+            time_steps
+            if step_sequence
+            else int(np.ceil(time_steps / self.time_dim))
+        )
+        if self.trainer is None or self.trainer.params is None:
+            raise ValueError(
+                "model has no parameters yet; call fit()/init_fit() or "
+                "trainer.init(sample) before building a rollout"
+            )
+        td = self.time_dim
+        is_recurrent = self.is_recurrent
+        params = self.trainer.params
+        apply = self.trainer.model.apply
+
+        def scan_body(p, _):
+            pred = apply(params, p)
+            if step_sequence:
+                if is_recurrent:
+                    p_next = jnp.concatenate([p[:, 1:], pred[:, :1]], axis=1)
+                else:
+                    b = p.shape[0]
+                    pr = pred.reshape(
+                        (b, td, pred.shape[1] // td) + pred.shape[2:]
+                    )
+                    pt = p.reshape((b, td, p.shape[1] // td) + p.shape[2:])
+                    p_next = jnp.concatenate([pt[:, 1:], pr[:, :1]], axis=1)
+                    p_next = p_next.reshape(p.shape)
+                return p_next, pred
+            return pred, pred
+
+        def fn(x):
+            _, series = jax.lax.scan(scan_body, x, None, length=n_iter)
+            return series
+
+        return fn, n_iter
+
     def predict_timeseries(
         self,
         predictors,
@@ -221,66 +299,23 @@ class DLWPNeuralNet:
     ):
         """Autoregressive rollout (reference models.py:247-301).
 
-        Runs entirely on device as a ``lax.scan``: per scan step the model
-        predicts, and either the whole state is replaced by the prediction
-        (default) or a sliding window advances one time step
-        (``step_sequence``, models.py:280-290).
-
+        Runs entirely on device as a ``lax.scan`` (:meth:`rollout_fn`).
         Returns (time_steps[, time_dim], sample, ...) exactly per the
         reference's output-shaping rules.
         """
-        time_steps = int(time_steps)
-        if time_steps < 1:
-            raise ValueError("time_steps must be an int > 0")
-        n_iter = (
-            time_steps
-            if step_sequence
-            else int(np.ceil(time_steps / self.time_dim))
-        )
         if self.impute:
             predictors = self.imputer_transform(predictors)
         x0 = self.scaler_transform(np.asarray(predictors))
         # Shard the rollout state like a training batch (dp x sp rollout).
         x0 = self.trainer._device_put(np.asarray(x0))
-        sample_dim = x0.shape[0]
         feature_shape = x0.shape[2:] if self.is_recurrent else x0.shape[1:]
-        td = self.time_dim
-        params = self.trainer.params
-        apply = self.trainer.model.apply
-
-        def scan_body(p, _):
-            pred = apply(params, p)
-            if step_sequence:
-                if self.is_recurrent:
-                    p_next = jnp.concatenate([p[:, 1:], pred[:, :1]], axis=1)
-                else:
-                    pr = pred.reshape((sample_dim, td, -1) + feature_shape[1:])
-                    pt = p.reshape((sample_dim, td, -1) + feature_shape[1:])
-                    p_next = jnp.concatenate([pt[:, 1:], pr[:, :1]], axis=1)
-                    p_next = p_next.reshape(x0.shape)
-                return p_next, pred
-            return pred, pred
-
-        @jax.jit
-        def rollout(x):
-            _, series = jax.lax.scan(scan_body, x, None, length=n_iter)
-            return series
-
-        ts = np.asarray(rollout(x0))  # (n_iter, B, ...)
+        fn, _ = self.rollout_fn(time_steps, step_sequence)
+        ts = np.asarray(jax.jit(fn)(x0))  # (n_iter, B, ...)
         if self.scale_targets and self.scaler_type is not None and self.scaler_y is not None:
             ts = self.scaler_y.inverse_transform(ts)
-        ts = ts.reshape((n_iter, sample_dim, td, -1) + feature_shape[1:])
-        if not keep_time_dim:
-            if step_sequence:
-                ts = ts[:, :, 0]
-            else:
-                ts = ts.transpose(
-                    (0, 2, 1) + tuple(range(3, 3 + len(feature_shape)))
-                )
-                ts = ts.reshape(
-                    (n_iter * td, sample_dim, -1) + feature_shape[1:]
-                )
-        return ts
+        return shape_series(
+            ts, self.time_dim, feature_shape, step_sequence, keep_time_dim
+        )
 
     def evaluate(self, predictors, targets, **kwargs):
         """Scaled evaluation (models.py:303-316)."""
