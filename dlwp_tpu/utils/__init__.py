@@ -4,8 +4,10 @@ from dlwp_tpu.utils.scaler import StandardScaler, MinMaxScaler, MeanImputer
 from dlwp_tpu.utils.serialization import save_model, load_model
 from dlwp_tpu.utils.reflection import get_from_module, get_classes, get_methods
 from dlwp_tpu.utils.split import train_test_split_ind, delete_nan_samples
+from dlwp_tpu.utils.tensorboard import TensorBoardWriter
 
 __all__ = [
+    "TensorBoardWriter",
     "StandardScaler",
     "MinMaxScaler",
     "MeanImputer",

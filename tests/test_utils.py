@@ -1,5 +1,6 @@
 """Tests for utility modules: scalers, splits, NaN handling, reflection."""
 
+import os
 import numpy as np
 import pytest
 
@@ -117,3 +118,64 @@ class TestPreprocessorProductMode:
         pp = Preprocessor(SyntheticSource(n=10))
         ds = pp.data_to_series(["T2M"], [None], pairwise=True)
         assert ds.varlev == ["T2M"]
+
+
+class TestTensorBoardWriter:
+    """The hand-encoded event files must parse with the OFFICIAL tensorboard
+    reader (the oracle for the TFRecord/Event wire format)."""
+
+    def _read_events(self, logdir):
+        tb = pytest.importorskip("tensorboard")  # noqa: F841  (oracle only)
+        from tensorboard.backend.event_processing import event_file_loader
+        import glob
+
+        (path,) = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+        return list(event_file_loader.EventFileLoader(path).Load())
+
+    def test_scalars_readable_by_tensorboard(self, tmp_path):
+        from dlwp_tpu.utils import TensorBoardWriter
+
+        with TensorBoardWriter(str(tmp_path)) as tb:
+            for step, v in enumerate([0.5, 0.25, 0.125]):
+                tb.scalar("loss", v, step)
+            tb.scalar("val_loss", 1.5, 0, wall_time=123.25)
+        events = self._read_events(str(tmp_path))
+        assert events[0].file_version == "brain.Event:2"
+
+        def val(v):
+            # The loader's data-compat layer migrates simple_value into the
+            # generic tensor form; accept either.
+            return (v.tensor.float_val[0] if v.HasField("tensor")
+                    else v.simple_value)
+
+        scalars = [
+            (e.summary.value[0].tag, e.step,
+             pytest.approx(val(e.summary.value[0])))
+            for e in events[1:]
+        ]
+        assert scalars == [
+            ("loss", 0, 0.5), ("loss", 1, 0.25), ("loss", 2, 0.125),
+            ("val_loss", 0, 1.5),
+        ]
+        assert events[4].wall_time == 123.25
+
+    def test_trainer_callback_and_run_protocols(self, tmp_path):
+        from dlwp_tpu.utils import TensorBoardWriter
+        from dlwp_tpu.train.callbacks import RunHistory
+
+        tb = TensorBoardWriter(str(tmp_path))
+        tb(0, {"loss": 1.0, "val_loss": 2.0}, None)  # epoch callback
+        RunHistory(tb)(1, {"loss": 0.5}, None)       # run.log protocol
+        tb.close()
+        events = self._read_events(str(tmp_path))[1:]
+        got = {(e.summary.value[0].tag, e.step) for e in events}
+        assert ("loss", 0) in got and ("val_loss", 0) in got
+        assert ("loss", 0) in got  # run protocol starts its own step count
+
+    def test_crc32c_known_vectors(self):
+        # RFC 3720 / golang hash/crc32 Castagnoli test vectors.
+        from dlwp_tpu.utils.tensorboard import crc32c
+
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
