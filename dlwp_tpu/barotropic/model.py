@@ -110,13 +110,16 @@ class _BarotropicBase:
         damping_order: int = 4,
         spectral_mode: str = "reference",
         dtype=jnp.float32,
+        fourier: str = "fft",
     ):
         self.grid = grid
         self.truncation = int(truncation)
         self.dt = float(dt)
         self.robert_coefficient = float(robert_coefficient)
         self.spectral_mode = spectral_mode
-        self.sh = SphericalHarmonics.build(grid, truncation, dtype=dtype)
+        self.sh = SphericalHarmonics.build(
+            grid, truncation, dtype=dtype, fourier=fourier
+        )
         self.damping = jnp.asarray(
             _hyperdiffusion(
                 self.sh, damping_coefficient, damping_order, self.truncation,

@@ -73,6 +73,19 @@ class SphericalHarmonics:
     # transforms are memory-bound). 'highest' is therefore the default;
     # pass precision=None to trade accuracy for nothing.
     precision: object
+    # Longitude-direction implementation: 'fft' (jnp.fft.rfft/irfft) or
+    # 'matmul' (precomputed real DFT matrices). At barotropic scales
+    # (nlon ~ 144) the TPU FFT lowers to a soup of small kernels that
+    # costs more than the whole Legendre contraction; one (nlon, 2M)
+    # matmul replaces it and fuses with neighboring ops. Numerics match
+    # the FFT path to fp32 round-off (the tables are built in float64).
+    fourier: str
+    # DFT tables (None when fourier='fft'): forward (nlon, 2M) packs
+    # [cos | -sin] columns; inverse (2M, nlon) packs the multiplicity-
+    # weighted rows with irfft's Hermitian-input convention (imag parts
+    # of the m=0 and Nyquist modes are dropped, as irfft does).
+    dft_fwd: jax.Array | None
+    dft_inv: jax.Array | None
     # Device-resident constant tables (all shaped [m, j, n] or [m, n]):
     P: jax.Array  # synthesis table
     A: jax.Array  # scalar analysis (WLS left inverse), [m, n, j]
@@ -96,7 +109,10 @@ class SphericalHarmonics:
         truncation: int | None = None,
         dtype=jnp.float32,
         precision="highest",
+        fourier: str = "fft",
     ) -> "SphericalHarmonics":
+        if fourier not in ("fft", "matmul"):
+            raise ValueError("fourier must be 'fft' or 'matmul'")
         if truncation is None:
             truncation = grid.nlon // 3  # reference model.py:46 suggestion
         T = int(truncation)
@@ -173,12 +189,38 @@ class SphericalHarmonics:
             )
         m_vals = np.arange(M, dtype=np.float64)
 
+        dft_fwd = dft_inv = None
+        if fourier == "matmul":
+            L = grid.nlon
+            ang = 2.0 * np.pi * np.outer(np.arange(L), m_vals) / L  # (L, M)
+            # Forward: F(m) = sum_l x(l) e^{-2pi i m l / L} / L.
+            dft_fwd = np.concatenate(
+                [np.cos(ang) / L, -np.sin(ang) / L], axis=1
+            )  # (L, 2M)
+            # Inverse with irfft's Hermitian-input convention: multiplicity
+            # 2 for interior modes, 1 for m = 0 and (when present) Nyquist;
+            # imaginary parts of those two modes are dropped, as irfft does.
+            c_re = np.full(M, 2.0)
+            c_re[0] = 1.0
+            c_im = np.full(M, -2.0)
+            c_im[0] = 0.0
+            if M - 1 == L // 2 and L % 2 == 0:
+                c_re[M - 1] = 1.0
+                c_im[M - 1] = 0.0
+            dft_inv = np.concatenate(
+                [c_re[:, None] * np.cos(ang).T, c_im[:, None] * np.sin(ang).T],
+                axis=0,
+            )  # (2M, L)
+
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
             grid=grid,
             truncation=T,
             dtype=jnp.dtype(dtype),
             precision=precision,
+            fourier=fourier,
+            dft_fwd=None if dft_fwd is None else f(dft_fwd),
+            dft_inv=None if dft_inv is None else f(dft_inv),
             P=f(tab.P),
             A=f(A),
             G=f(tab.G),
@@ -207,12 +249,27 @@ class SphericalHarmonics:
 
     def _fourier(self, field: jax.Array) -> jax.Array:
         """Real grid (..., J, nlon) -> one-sided Fourier modes (..., m, J)."""
+        if self.fourier == "matmul":
+            M = self.truncation + 1
+            both = jnp.einsum(
+                "...jl,lk->...kj", field, self.dft_fwd,
+                preferred_element_type=self.dtype, precision=self.precision,
+            )  # (..., 2M, J)
+            return jax.lax.complex(both[..., :M, :], both[..., M:, :])
         F = jnp.fft.rfft(field, axis=-1) / self.grid.nlon
         F = F[..., : self.truncation + 1]  # (..., J, M)
         return jnp.swapaxes(F, -1, -2)  # (..., M, J)
 
     def _inv_fourier(self, Fm: jax.Array) -> jax.Array:
         """One-sided Fourier modes (..., m, J) -> real grid (..., J, nlon)."""
+        if self.fourier == "matmul":
+            stacked = jnp.concatenate(
+                [Fm.real, Fm.imag], axis=-2
+            ).astype(self.dtype)  # (..., 2M, J)
+            return jnp.einsum(
+                "...kj,kl->...jl", stacked, self.dft_inv,
+                preferred_element_type=self.dtype, precision=self.precision,
+            )
         F = jnp.swapaxes(Fm, -1, -2)  # (..., J, M)
         nfreq = self.grid.nlon // 2 + 1
         pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]

@@ -248,3 +248,71 @@ class TestMuMultiplier:
             np.asarray(sh.apply_mu_multiplier(op, spec)),
             np.asarray(spec), atol=1e-12,
         )
+
+
+class TestMatmulFourier:
+    """fourier='matmul' (precomputed DFT matmuls) vs the FFT path.
+
+    The matmul path exists because at barotropic widths the TPU FFT
+    lowers to many small kernels (BASELINE.md round-2 continuation);
+    numerically the two must agree to round-off, including irfft's
+    convention of dropping the imaginary parts of the m=0 and Nyquist
+    modes.
+    """
+
+    @pytest.mark.parametrize(
+        "J,L,T",
+        [(73, 144, 72),  # M-1 == Nyquist (even nlon): multiplicity-1 row
+         (37, 73, 24),   # odd nlon
+         (24, 48, 15)],  # truncated well below Nyquist (zero-padded fft)
+    )
+    def test_matches_fft_path_f64(self, J, L, T):
+        grid = LatLonGrid.regular(J, L)
+        a = SphericalHarmonics.build(grid, T, dtype=jnp.float64)
+        b = SphericalHarmonics.build(
+            grid, T, dtype=jnp.float64, fourier="matmul"
+        )
+        x = jnp.asarray(np.random.RandomState(0).randn(J, L))
+        np.testing.assert_allclose(
+            np.asarray(a.analyze(x)), np.asarray(b.analyze(x)), atol=1e-13
+        )
+        spec = a.analyze(x)
+        # Perturb m=0 imaginary part: both paths must drop it (irfft
+        # Hermitian-input semantics).
+        spec = spec.at[0, :].add(1j * 0.37)
+        np.testing.assert_allclose(
+            np.asarray(a.synthesize(spec)),
+            np.asarray(b.synthesize(spec)),
+            atol=1e-12,
+        )
+
+    def test_vector_transforms_match(self):
+        grid = LatLonGrid.gaussian(32, 64)
+        a = SphericalHarmonics.build(grid, 20, dtype=jnp.float64)
+        b = SphericalHarmonics.build(
+            grid, 20, dtype=jnp.float64, fourier="matmul"
+        )
+        spec = random_spec(a, key=3, wind=True)
+        ua, va = a.uv_from_vrtdiv(spec, 0.5 * spec)
+        ub, vb = b.uv_from_vrtdiv(spec, 0.5 * spec)
+        np.testing.assert_allclose(np.asarray(ua), np.asarray(ub), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(a.vrtdiv_from_uv(ua, va))),
+            np.asarray(jnp.stack(b.vrtdiv_from_uv(ua, va))),
+            atol=1e-12,
+        )
+
+    def test_barotropic_trajectory_agrees(self):
+        from dlwp_tpu.barotropic import BarotropicModelPsi
+
+        grid = LatLonGrid.regular(37, 72)
+        z = 100.0 * np.random.RandomState(1).randn(37, 72).astype(np.float64)
+        trajs = []
+        for fourier in ("fft", "matmul"):
+            m = BarotropicModelPsi(
+                grid, truncation=24, dt=1800.0, dtype=jnp.float64,
+                fourier=fourier,
+            )
+            trajs.append(np.asarray(m.z_grid(m.run(m.from_z(z), 20))))
+        np.testing.assert_allclose(trajs[0], trajs[1], rtol=0, atol=1e-9)
