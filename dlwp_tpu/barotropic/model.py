@@ -111,7 +111,13 @@ class _BarotropicBase:
         spectral_mode: str = "reference",
         dtype=jnp.float32,
         fourier: str = "fft",
+        step_impl: str = "xla",
     ):
+        if step_impl not in ("xla", "pallas"):
+            raise ValueError("step_impl must be 'xla' or 'pallas'")
+        if step_impl == "pallas" and jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("step_impl='pallas' supports float32 only")
+        self.step_impl = step_impl
         self.grid = grid
         self.truncation = int(truncation)
         self.dt = float(dt)
@@ -190,9 +196,23 @@ class _BarotropicBase:
             t=state.t + self.dt,
         )
 
+    def _use_pallas(self, state: BarotropicState) -> bool:
+        """Fused-kernel eligibility: opted in, single member, kernel built.
+
+        Batched states fall back to the XLA scan (ensemble GEMMs already
+        saturate the MXU there; the kernel targets single-member latency).
+        """
+        return self.step_impl == "pallas" and state.vrt_spec.ndim == 2
+
     @partial(jax.jit, static_argnums=(0, 2))
     def run(self, state: BarotropicState, n_steps: int) -> BarotropicState:
-        """Integrate ``n_steps`` under a single lax.scan."""
+        """Integrate ``n_steps`` under a single lax.scan (or, with
+        ``step_impl='pallas'``, one fused whole-trajectory kernel)."""
+        if self._use_pallas(state):
+            from dlwp_tpu.barotropic.pallas_step import psi_run_pallas
+
+            return psi_run_pallas(self, state, n_steps)
+
         def body(s, _):
             return self.step_forward(s), None
 
@@ -214,7 +234,12 @@ class _BarotropicBase:
             return self.step_forward(s), None
 
         def outer(s, _):
-            s, _ = jax.lax.scan(inner, s, None, length=snapshot_every)
+            if self._use_pallas(s):
+                from dlwp_tpu.barotropic.pallas_step import psi_run_pallas
+
+                s = psi_run_pallas(self, s, snapshot_every)
+            else:
+                s, _ = jax.lax.scan(inner, s, None, length=snapshot_every)
             return s, (s.t, self.z_grid(s))
 
         state, (times, zs) = jax.lax.scan(
@@ -262,6 +287,11 @@ class BarotropicModel(_BarotropicBase):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.step_impl == "pallas":
+            raise NotImplementedError(
+                "step_impl='pallas' is implemented for BarotropicModelPsi; "
+                "the vorticity form uses the XLA scan"
+            )
         # Stacked synthesis table for the fused tendency (built eagerly --
         # never inside a trace): vrt, u and v are all linear in
         # psi = inv_lap(vrt), so one (m, 3J, n) contraction produces all
@@ -325,6 +355,10 @@ class BarotropicModelPsi(_BarotropicBase):
             # bit-identical result.
             sign = np.where(self.grid.lat < 0, -1.0, 1.0)
             self._sign_op = self.sh.mu_multiplier_operator(sign)
+        if self.step_impl == "pallas":
+            from dlwp_tpu.barotropic.pallas_step import build_psi_step_tables
+
+            self._pallas_tables = build_psi_step_tables(self)
 
     def from_z(self, z: jax.Array) -> BarotropicState:
         z = jnp.asarray(z, dtype=self.sh.dtype)

@@ -36,6 +36,37 @@ from dlwp_tpu.grid.latlon import LatLonGrid
 from dlwp_tpu.spectral.legendre import legendre_tables
 
 
+def dft_tables(nlon: int, n_modes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real DFT matrices implementing rfft/irfft for one-sided modes.
+
+    Returns ``(dft_fwd, dft_inv)`` float64:
+
+    - ``dft_fwd`` (nlon, 2M) with columns ``[cos/L | -sin/L]``:
+      ``field @ dft_fwd`` gives the stacked (Re, Im) one-sided modes of
+      ``rfft(field)/L`` truncated to M modes.
+    - ``dft_inv`` (2M, nlon) with multiplicity-weighted rows under
+      irfft's Hermitian-input convention (imaginary parts of the m = 0
+      and Nyquist modes are dropped, as irfft does):
+      ``stack([re, im]) . dft_inv`` reconstructs the grid.
+    """
+    L, M = int(nlon), int(n_modes)
+    m_vals = np.arange(M, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(np.arange(L), m_vals) / L  # (L, M)
+    dft_fwd = np.concatenate([np.cos(ang) / L, -np.sin(ang) / L], axis=1)
+    c_re = np.full(M, 2.0)
+    c_re[0] = 1.0
+    c_im = np.full(M, -2.0)
+    c_im[0] = 0.0
+    if M - 1 == L // 2 and L % 2 == 0:
+        c_re[M - 1] = 1.0
+        c_im[M - 1] = 0.0
+    dft_inv = np.concatenate(
+        [c_re[:, None] * np.cos(ang).T, c_im[:, None] * np.sin(ang).T],
+        axis=0,
+    )
+    return dft_fwd, dft_inv
+
+
 def _wls_inverse(S: np.ndarray, w: np.ndarray, mask_cols: np.ndarray) -> np.ndarray:
     """Weighted-least-squares left inverse of synthesis matrix S (J x N).
 
@@ -191,26 +222,7 @@ class SphericalHarmonics:
 
         dft_fwd = dft_inv = None
         if fourier == "matmul":
-            L = grid.nlon
-            ang = 2.0 * np.pi * np.outer(np.arange(L), m_vals) / L  # (L, M)
-            # Forward: F(m) = sum_l x(l) e^{-2pi i m l / L} / L.
-            dft_fwd = np.concatenate(
-                [np.cos(ang) / L, -np.sin(ang) / L], axis=1
-            )  # (L, 2M)
-            # Inverse with irfft's Hermitian-input convention: multiplicity
-            # 2 for interior modes, 1 for m = 0 and (when present) Nyquist;
-            # imaginary parts of those two modes are dropped, as irfft does.
-            c_re = np.full(M, 2.0)
-            c_re[0] = 1.0
-            c_im = np.full(M, -2.0)
-            c_im[0] = 0.0
-            if M - 1 == L // 2 and L % 2 == 0:
-                c_re[M - 1] = 1.0
-                c_im[M - 1] = 0.0
-            dft_inv = np.concatenate(
-                [c_re[:, None] * np.cos(ang).T, c_im[:, None] * np.sin(ang).T],
-                axis=0,
-            )  # (2M, L)
+            dft_fwd, dft_inv = dft_tables(grid.nlon, M)
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
