@@ -25,6 +25,16 @@ Reference-compat quirks, controlled by ``spectral_mode``:
 
 Everything supports leading batch dimensions (vmap-free batching over
 ensemble members / init times, as in ``examples/run_barotropic.py:37``).
+
+Performance options (measured on TPU v5e, BASELINE.md):
+  - ``fourier='matmul'``: longitude transforms as precomputed real DFT
+    matmuls instead of rfft/irfft -- +19% at T72 (the TPU FFT lowers to
+    many small kernels at these widths); round-off-identical.
+  - ``step_impl='pallas'``: the whole ``run(state, n)`` integration as
+    ONE fused Pallas kernel with VMEM-resident tables (+44% over the XLA
+    scan at T72 single-member). Single-member f32 states only; batched
+    states transparently fall back to the XLA scan, which is the right
+    engine for ensembles (batched contractions saturate the MXU).
 """
 
 from __future__ import annotations
@@ -209,9 +219,9 @@ class _BarotropicBase:
         """Integrate ``n_steps`` under a single lax.scan (or, with
         ``step_impl='pallas'``, one fused whole-trajectory kernel)."""
         if self._use_pallas(state):
-            from dlwp_tpu.barotropic.pallas_step import psi_run_pallas
+            from dlwp_tpu.barotropic.pallas_step import run_pallas
 
-            return psi_run_pallas(self, state, n_steps)
+            return run_pallas(self, state, n_steps)
 
         def body(s, _):
             return self.step_forward(s), None
@@ -235,9 +245,9 @@ class _BarotropicBase:
 
         def outer(s, _):
             if self._use_pallas(s):
-                from dlwp_tpu.barotropic.pallas_step import psi_run_pallas
+                from dlwp_tpu.barotropic.pallas_step import run_pallas
 
-                s = psi_run_pallas(self, s, snapshot_every)
+                s = run_pallas(self, s, snapshot_every)
             else:
                 s, _ = jax.lax.scan(inner, s, None, length=snapshot_every)
             return s, (s.t, self.z_grid(s))
@@ -288,10 +298,10 @@ class BarotropicModel(_BarotropicBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         if self.step_impl == "pallas":
-            raise NotImplementedError(
-                "step_impl='pallas' is implemented for BarotropicModelPsi; "
-                "the vorticity form uses the XLA scan"
-            )
+            from dlwp_tpu.barotropic.pallas_step import build_vrt_step_tables
+
+            self._pallas_form = "vrt"
+            self._pallas_tables = build_vrt_step_tables(self)
         # Stacked synthesis table for the fused tendency (built eagerly --
         # never inside a trace): vrt, u and v are all linear in
         # psi = inv_lap(vrt), so one (m, 3J, n) contraction produces all
@@ -358,6 +368,7 @@ class BarotropicModelPsi(_BarotropicBase):
         if self.step_impl == "pallas":
             from dlwp_tpu.barotropic.pallas_step import build_psi_step_tables
 
+            self._pallas_form = "psi"
             self._pallas_tables = build_psi_step_tables(self)
 
     def from_z(self, z: jax.Array) -> BarotropicState:

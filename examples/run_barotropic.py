@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--damping", type=float, default=5e-6)
     p.add_argument("--n-init", type=int, default=4, help="batched init times")
     p.add_argument("--output-file", default="barotropic_forecast.h5")
+    p.add_argument("--step-impl", choices=["xla", "pallas"], default="xla",
+                   help="'pallas' = fused whole-trajectory kernel "
+                        "(fastest single-member on TPU; see BASELINE.md)")
+    p.add_argument("--fourier", choices=["fft", "matmul"], default="fft",
+                   help="longitude transform implementation")
     args = p.parse_args(argv)
 
     import jax
@@ -64,6 +69,7 @@ def main(argv=None):
     model = BarotropicModelPsi(
         grid, args.truncation, dt=args.dt,
         damping_coefficient=args.damping, dtype=jnp.float32,
+        fourier=args.fourier, step_impl=args.step_impl,
     )
     state = model.from_z(jnp.asarray(z0, dtype=jnp.float32))
     snap_every = int(args.snapshot_hours * 3600.0 / args.dt)

@@ -18,6 +18,11 @@ EXAMPLES = os.path.join(
 
 def run_example(script, *args, timeout=420):
     env = dict(os.environ)
+    # Force the subprocess onto CPU: the environment pins
+    # JAX_PLATFORMS=axon (remote TPU tunnel), which would make these
+    # smoke tests contend with any concurrent hardware runs and depend
+    # on tunnel availability. JAX_PLATFORMS beats JAX_PLATFORM_NAME.
+    env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(

@@ -1,7 +1,7 @@
 """Fused whole-step Pallas kernel (barotropic psi-form) vs the XLA scan.
 
-Runs in interpret mode on CPU; the kernel's hardware numbers are in
-BASELINE.md (13.3k steps/s vs 9.3k for the XLA scan at T72).
+Runs in interpret mode on CPU; the kernels' hardware numbers are in
+BASELINE.md (psi form: 13.3k steps/s vs 9.3k for the XLA scan at T72).
 """
 
 import numpy as np
@@ -22,14 +22,24 @@ def _z0(seed=1):
     )
 
 
-class TestPsiPallasStep:
+class TestFusedPallasStep:
     @pytest.mark.parametrize("correct_sh", [True, False])
     @pytest.mark.parametrize("spectral_mode", ["reference", "standard"])
-    def test_trajectory_matches_xla(self, correct_sh, spectral_mode):
+    def test_psi_trajectory_matches_xla(self, correct_sh, spectral_mode):
         kw = dict(truncation=24, dt=1800.0, correct_sh=correct_sh,
                   spectral_mode=spectral_mode)
         a = BarotropicModelPsi(GRID, **kw)
         b = BarotropicModelPsi(GRID, step_impl="pallas", **kw)
+        za = np.asarray(a.z_grid(a.run(a.from_z(_z0()), 20)))
+        zb = np.asarray(b.z_grid(b.run(b.from_z(_z0()), 20)))
+        rel = np.abs(za - zb).max() / np.abs(za).max()
+        assert rel < 1e-5, rel
+
+    @pytest.mark.parametrize("spectral_mode", ["reference", "standard"])
+    def test_vorticity_trajectory_matches_xla(self, spectral_mode):
+        kw = dict(truncation=24, dt=1800.0, spectral_mode=spectral_mode)
+        a = BarotropicModel(GRID, **kw)
+        b = BarotropicModel(GRID, step_impl="pallas", **kw)
         za = np.asarray(a.z_grid(a.run(a.from_z(_z0()), 20)))
         zb = np.asarray(b.z_grid(b.run(b.from_z(_z0()), 20)))
         rel = np.abs(za - zb).max() / np.abs(za).max()
@@ -70,11 +80,6 @@ class TestPsiPallasStep:
         ref = np.asarray(solo.vrt_spec)
         err = np.abs(np.asarray(out.vrt_spec[1]) - ref).max()
         assert err <= 1e-6 * np.abs(ref).max(), err
-
-    def test_vorticity_form_rejects_pallas(self):
-        with pytest.raises(NotImplementedError):
-            BarotropicModel(GRID, truncation=24, dt=1800.0,
-                            step_impl="pallas")
 
     def test_float64_rejects_pallas(self):
         with pytest.raises(ValueError):
