@@ -207,27 +207,39 @@ class _BarotropicBase:
         )
 
     def _use_pallas(self, state: BarotropicState) -> bool:
-        """Fused-kernel eligibility: opted in, single member, kernel built.
+        """Fused-kernel eligibility: opted in, single member, TPU or CPU.
 
         Batched states fall back to the XLA scan (ensemble GEMMs already
-        saturate the MXU there; the kernel targets single-member latency).
+        saturate the MXU there; the kernel targets single-member
+        latency), as do non-TPU accelerator backends (Mosaic kernels do
+        not lower there; CPU runs the kernel in interpret mode, which is
+        what the tests exercise).
         """
-        return self.step_impl == "pallas" and state.vrt_spec.ndim == 2
+        backend = jax.default_backend()
+        return (
+            self.step_impl == "pallas"
+            and state.vrt_spec.ndim == 2
+            and backend not in ("gpu", "cuda", "rocm")
+        )
+
+    def _advance(self, state: BarotropicState, k: int) -> BarotropicState:
+        """Advance ``k`` steps with the configured engine."""
+        if self._use_pallas(state):
+            from dlwp_tpu.barotropic.pallas_step import run_pallas
+
+            return run_pallas(self, state, k)
+
+        def body(s, _):
+            return self.step_forward(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=k)
+        return state
 
     @partial(jax.jit, static_argnums=(0, 2))
     def run(self, state: BarotropicState, n_steps: int) -> BarotropicState:
         """Integrate ``n_steps`` under a single lax.scan (or, with
         ``step_impl='pallas'``, one fused whole-trajectory kernel)."""
-        if self._use_pallas(state):
-            from dlwp_tpu.barotropic.pallas_step import run_pallas
-
-            return run_pallas(self, state, n_steps)
-
-        def body(s, _):
-            return self.step_forward(s), None
-
-        state, _ = jax.lax.scan(body, state, None, length=n_steps)
-        return state
+        return self._advance(state, n_steps)
 
     @partial(jax.jit, static_argnums=(0, 2, 3))
     def run_with_snapshots(
@@ -240,16 +252,8 @@ class _BarotropicBase:
         ``(state, times (n_snapshots,), z (n_snapshots, ..., nlat, nlon))``.
         """
 
-        def inner(s, _):
-            return self.step_forward(s), None
-
         def outer(s, _):
-            if self._use_pallas(s):
-                from dlwp_tpu.barotropic.pallas_step import run_pallas
-
-                s = run_pallas(self, s, snapshot_every)
-            else:
-                s, _ = jax.lax.scan(inner, s, None, length=snapshot_every)
+            s = self._advance(s, snapshot_every)
             return s, (s.t, self.z_grid(s))
 
         state, (times, zs) = jax.lax.scan(

@@ -278,9 +278,15 @@ def run_pallas(model, state, n_steps: int):
         state.vrt_spec_prev.imag.astype(jnp.float32),
     )
     vr, vi, pr, pi = _fused_call(model, parts, state.step, n_steps, interpret)
+    # Accumulate t with the same n sequential f32 additions as the XLA
+    # scan so snapshot timestamps are engine-independent bit-for-bit
+    # (a single n*dt multiply rounds differently for dt not exactly
+    # representable); this is a trivial scalar loop.
+    dt = jnp.asarray(model.dt, dtype=state.t.dtype)
+    t = jax.lax.fori_loop(0, n_steps, lambda i, t: t + dt, state.t)
     return BarotropicState(
         vrt_spec=jax.lax.complex(vr, vi),
         vrt_spec_prev=jax.lax.complex(pr, pi),
         step=state.step + n_steps,
-        t=state.t + n_steps * model.dt,
+        t=t,
     )

@@ -50,6 +50,13 @@ def dft_tables(nlon: int, n_modes: int) -> tuple[np.ndarray, np.ndarray]:
       ``stack([re, im]) . dft_inv`` reconstructs the grid.
     """
     L, M = int(nlon), int(n_modes)
+    if M > L // 2 + 1:
+        # The FFT path fails loudly here (shape mismatch); the matmul
+        # tables would silently alias m >= nlon//2+1 onto lower modes.
+        raise ValueError(
+            f"n_modes={M} exceeds the one-sided spectrum of nlon={L} "
+            f"({L // 2 + 1} modes)"
+        )
     m_vals = np.arange(M, dtype=np.float64)
     ang = 2.0 * np.pi * np.outer(np.arange(L), m_vals) / L  # (L, M)
     dft_fwd = np.concatenate([np.cos(ang) / L, -np.sin(ang) / L], axis=1)
@@ -150,6 +157,11 @@ class SphericalHarmonics:
         if T + 1 > grid.nlat:
             raise ValueError(
                 f"truncation {T} needs at least {T + 1} latitudes, grid has {grid.nlat}"
+            )
+        if T > grid.nlon // 2:
+            raise ValueError(
+                f"truncation {T} exceeds the one-sided zonal spectrum of "
+                f"nlon={grid.nlon} (max m = {grid.nlon // 2})"
             )
         tab = legendre_tables(T, grid.mu)
         J = grid.nlat

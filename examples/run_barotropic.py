@@ -71,7 +71,15 @@ def main(argv=None):
         damping_coefficient=args.damping, dtype=jnp.float32,
         fourier=args.fourier, step_impl=args.step_impl,
     )
-    state = model.from_z(jnp.asarray(z0, dtype=jnp.float32))
+    z0 = jnp.asarray(z0, dtype=jnp.float32)
+    # The fused kernel targets single-member states; with one init time,
+    # drop the batch axis so --step-impl pallas actually engages (the
+    # model falls back to the XLA scan for batched states).
+    squeeze_member = args.step_impl == "pallas" and args.n_init == 1
+    if args.step_impl == "pallas" and args.n_init > 1:
+        print("note: step_impl='pallas' is single-member; batched init "
+              "times use the XLA scan")
+    state = model.from_z(z0[0] if squeeze_member else z0)
     snap_every = int(args.snapshot_hours * 3600.0 / args.dt)
     n_snaps = int(args.hours / args.snapshot_hours)
 
@@ -80,6 +88,8 @@ def main(argv=None):
     jax.block_until_ready(zs)
     elapsed = time.time() - t0
     zs = np.asarray(zs)  # (n_snaps, n_init, nlat, nlon)
+    if squeeze_member:
+        zs = zs[:, None]  # restore the member axis for the output file
     n_steps = n_snaps * snap_every
     print(
         f"integrated {args.n_init} x {n_steps} steps in {elapsed:.2f}s "

@@ -54,6 +54,19 @@ class TestExampleWorkflows:
         assert "saved" in out
         assert os.path.exists(tmp_path / "b.h5")
 
+    def test_run_barotropic_pallas_single_member(self, tmp_path):
+        """--step-impl pallas engages the fused kernel for one init time
+        (interpret mode on CPU) and writes the same output layout."""
+        out = run_example(
+            "run_barotropic.py", "--n-init", "1", "--hours", "6",
+            "--step-impl", "pallas",
+            "--output-file", str(tmp_path / "bp.h5"),
+        )
+        assert "saved" in out
+        import h5py
+        with h5py.File(tmp_path / "bp.h5") as f:
+            assert f["z"].shape[1] == 1  # member axis restored
+
     def test_write_predictors_and_thickness(self, tmp_path):
         p = str(tmp_path / "p.h5")
         run_example("write_predictors.py", "--output-file", p)

@@ -316,3 +316,13 @@ class TestMatmulFourier:
             )
             trajs.append(np.asarray(m.z_grid(m.run(m.from_z(z), 20))))
         np.testing.assert_allclose(trajs[0], trajs[1], rtol=0, atol=1e-9)
+
+
+def test_truncation_beyond_nyquist_rejected():
+    """m > nlon/2 has no one-sided Fourier mode: both fourier paths must
+    refuse at build time (the matmul tables would otherwise silently
+    alias high m onto low modes)."""
+    grid = LatLonGrid.regular(73, 64)
+    for fourier in ("fft", "matmul"):
+        with pytest.raises(ValueError):
+            SphericalHarmonics.build(grid, 40, fourier=fourier)
