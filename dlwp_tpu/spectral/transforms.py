@@ -124,6 +124,19 @@ class SphericalHarmonics:
     # of the m=0 and Nyquist modes are dropped, as irfft does).
     dft_fwd: jax.Array | None
     dft_inv: jax.Array | None
+    # Hemisphere-parity fold (fold=True): associated Legendre functions
+    # satisfy P(m, n, -mu) = (-1)^(n+m) P(m, n, mu), so on an
+    # equatorially symmetric grid the scalar transforms decompose into
+    # symmetric/antisymmetric halves over HALF the latitude rows and
+    # HALF the degrees each -- 2x fewer contraction FLOPs and table
+    # bytes. Tables are packed per m over the n's of matching parity
+    # (n = 2k + m%2 for the symmetric class); ``None`` unless enabled.
+    fold: bool
+    Psym: jax.Array | None   # (M, h, K) north-half synthesis, sym class
+    Panti: jax.Array | None  # (M, h, K) antisym class
+    Asym: jax.Array | None   # (M, K, h) analysis, applied to folded sums
+    Aanti: jax.Array | None  # (M, K, h) applied to folded differences
+    even_m: jax.Array | None  # (M, 1) bool: class <-> n-parity selector
     # Device-resident constant tables (all shaped [m, j, n] or [m, n]):
     P: jax.Array  # synthesis table
     A: jax.Array  # scalar analysis (WLS left inverse), [m, n, j]
@@ -148,6 +161,7 @@ class SphericalHarmonics:
         dtype=jnp.float32,
         precision="highest",
         fourier: str = "fft",
+        fold: bool = False,
     ) -> "SphericalHarmonics":
         if fourier not in ("fft", "matmul"):
             raise ValueError("fourier must be 'fft' or 'matmul'")
@@ -236,6 +250,45 @@ class SphericalHarmonics:
         if fourier == "matmul":
             dft_fwd, dft_inv = dft_tables(grid.nlon, M)
 
+        Psym = Panti = Asym = Aanti = even_m = None
+        if fold:
+            mu = np.asarray(grid.mu, np.float64)
+            if not np.allclose(mu, -mu[::-1], atol=1e-12):
+                raise ValueError(
+                    "fold=True requires an equatorially symmetric grid"
+                )
+            h = (J + 1) // 2
+            K = (N + 1) // 2
+            Psym = np.zeros((M, h, K))
+            Panti = np.zeros((M, h, K))
+            Asym = np.zeros((M, K, h))
+            Aanti = np.zeros((M, K, h))
+            for m in range(M):
+                for k in range(K):
+                    n_s = 2 * k + m % 2       # (n + m) even: symmetric
+                    n_a = 2 * k + 1 - m % 2   # (n + m) odd: antisymmetric
+                    if n_s < N:
+                        Psym[m, :, k] = tab.P[m, :h, n_s]
+                        Asym[m, k, :] = A[m, n_s, :h]
+                    if n_a < N:
+                        Panti[m, :, k] = tab.P[m, :h, n_a]
+                        Aanti[m, k, :] = A[m, n_a, :h]
+            # Exactness guard: the WLS inverse must inherit the parity
+            # structure (it does on symmetric grids/weights -- the LS
+            # problem decouples by parity), else the fold is invalid.
+            scale = np.abs(A).max() or 1.0
+            for m in range(0, M, max(1, M // 4)):
+                for n in range(m, N):
+                    sgn = 1.0 if (n + m) % 2 == 0 else -1.0
+                    if not np.allclose(
+                        A[m, n, ::-1], sgn * A[m, n, :],
+                        atol=1e-10 * scale,
+                    ):
+                        raise ValueError(
+                            "analysis operator lacks hemisphere parity; "
+                            "fold=True is not valid on this grid"
+                        )
+
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
             grid=grid,
@@ -245,6 +298,14 @@ class SphericalHarmonics:
             fourier=fourier,
             dft_fwd=None if dft_fwd is None else f(dft_fwd),
             dft_inv=None if dft_inv is None else f(dft_inv),
+            fold=bool(fold),
+            Psym=None if Psym is None else f(Psym),
+            Panti=None if Panti is None else f(Panti),
+            Asym=None if Asym is None else f(Asym),
+            Aanti=None if Aanti is None else f(Aanti),
+            even_m=None if not fold else jnp.asarray(
+                (np.arange(M) % 2 == 0)[:, None]
+            ),
             P=f(tab.P),
             A=f(A),
             G=f(tab.G),
@@ -334,6 +395,75 @@ class SphericalHarmonics:
         )
         return jax.lax.complex(out[0], out[1])
 
+    # ----------------------------------------------- hemisphere-parity fold
+    def _fold_rows(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(..., J) latitude rows -> (sym, anti) half-row combinations.
+
+        The equator row (odd J) enters the symmetric part once and the
+        antisymmetric part as zero.
+        """
+        J = self.grid.nlat
+        h = (J + 1) // 2
+        north = x[..., :h]
+        tail = jnp.flip(x[..., h:], axis=-1)
+        if J % 2 == 1:
+            pad = [(0, 0)] * (tail.ndim - 1) + [(0, 1)]
+            tail = jnp.pad(tail, pad)
+        return north + tail, north - tail
+
+    def _unfold_rows(self, e: jax.Array, o: jax.Array) -> jax.Array:
+        """(sym, anti) half rows -> full (..., J) latitude rows."""
+        J = self.grid.nlat
+        h = (J + 1) // 2
+        south = jnp.flip((e - o)[..., : J - h], axis=-1)
+        return jnp.concatenate([e + o, south], axis=-1)
+
+    def _legendre_syn_folded(self, spec: jax.Array) -> jax.Array:
+        """Folded scalar synthesis: (..., m, n) -> (..., m, J) modes."""
+        N = self.truncation + 1
+        K = (N + 1) // 2
+        ri = jnp.stack([spec.real, spec.imag]).astype(self.dtype)
+        xe = ri[..., 0::2]  # n even, width K
+        xo = ri[..., 1::2]  # n odd, width N - K
+        if xo.shape[-1] < K:
+            pad = [(0, 0)] * (xo.ndim - 1) + [(0, K - xo.shape[-1])]
+            xo = jnp.pad(xo, pad)
+        # Symmetric class is n = m (mod 2); select per m row.
+        xs = jnp.where(self.even_m, xe, xo)
+        xa = jnp.where(self.even_m, xo, xe)
+        e = jnp.einsum(
+            "mjk,z...mk->z...mj", self.Psym, xs,
+            preferred_element_type=self.dtype, precision=self.precision,
+        )
+        o = jnp.einsum(
+            "mjk,z...mk->z...mj", self.Panti, xa,
+            preferred_element_type=self.dtype, precision=self.precision,
+        )
+        out = self._unfold_rows(e, o)
+        return jax.lax.complex(out[0], out[1])
+
+    def _legendre_ana_folded(self, Fm: jax.Array) -> jax.Array:
+        """Folded scalar analysis: (..., m, J) modes -> (..., m, n)."""
+        N = self.truncation + 1
+        K = (N + 1) // 2
+        ri = jnp.stack([Fm.real, Fm.imag]).astype(self.dtype)
+        Fs, Fa = self._fold_rows(ri)
+        xs = jnp.einsum(
+            "mkj,z...mj->z...mk", self.Asym, Fs,
+            preferred_element_type=self.dtype, precision=self.precision,
+        )
+        xa = jnp.einsum(
+            "mkj,z...mj->z...mk", self.Aanti, Fa,
+            preferred_element_type=self.dtype, precision=self.precision,
+        )
+        # Interleave the parity classes back into dense n: even slots
+        # hold the symmetric class on even m rows, else the antisym one.
+        evens = jnp.where(self.even_m, xs, xa)            # n = 0, 2, ...
+        odds = jnp.where(self.even_m, xa, xs)[..., : N - K]  # n = 1, 3, ...
+        out = jnp.zeros(xs.shape[:-1] + (N,), dtype=self.dtype)
+        out = out.at[..., 0::2].set(evens).at[..., 1::2].set(odds)
+        return jax.lax.complex(out[0], out[1])
+
     # ------------------------------------------------------------- public API
     def analyze(self, field: jax.Array) -> jax.Array:
         """Grid (..., nlat, nlon) -> spectral (..., T+1, T+1) complex.
@@ -341,6 +471,8 @@ class SphericalHarmonics:
         Mirrors ``TransformsEngine.grid_to_spec`` (pyspharm_transforms.py:85).
         """
         Fm = self._fourier(field.astype(self.dtype))
+        if self.fold:
+            return self._legendre_ana_folded(Fm)
         return self._legendre_ana(self.A, Fm)
 
     def synthesize(self, spec: jax.Array) -> jax.Array:
@@ -348,6 +480,10 @@ class SphericalHarmonics:
 
         Mirrors ``TransformsEngine.spec_to_grid`` (pyspharm_transforms.py:72).
         """
+        if self.fold:
+            return self._inv_fourier(
+                self._legendre_syn_folded(spec.astype(self.cdtype))
+            )
         Fm = self._legendre_syn(self.P, spec.astype(self.cdtype))
         return self._inv_fourier(Fm)
 

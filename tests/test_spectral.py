@@ -326,3 +326,64 @@ def test_truncation_beyond_nyquist_rejected():
     for fourier in ("fft", "matmul"):
         with pytest.raises(ValueError):
             SphericalHarmonics.build(grid, 40, fourier=fourier)
+
+
+class TestHemisphereFold:
+    """fold=True packs the Legendre tables by hemisphere parity --
+    half the contraction FLOPs/bytes -- and must be numerically
+    equivalent to the dense path on symmetric grids."""
+
+    @pytest.mark.parametrize(
+        "maker,J,L,T",
+        [("regular", 37, 72, 24),   # odd J (equator row), even N
+         ("regular", 36, 72, 23),   # even J, even N
+         ("gaussian", 32, 64, 20),  # gaussian, odd N
+         ("regular", 73, 144, 72)],  # canonical barotropic grid
+    )
+    def test_matches_dense_path_f64(self, maker, J, L, T):
+        grid = getattr(LatLonGrid, maker)(J, L)
+        a = SphericalHarmonics.build(grid, T, dtype=jnp.float64)
+        b = SphericalHarmonics.build(grid, T, dtype=jnp.float64, fold=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(3, J, L))
+        np.testing.assert_allclose(
+            np.asarray(a.analyze(x)), np.asarray(b.analyze(x)), atol=1e-13
+        )
+        spec = a.analyze(x[0])
+        np.testing.assert_allclose(
+            np.asarray(a.synthesize(spec)), np.asarray(b.synthesize(spec)),
+            atol=1e-13,
+        )
+
+    def test_roundtrip_exact_f64(self):
+        grid = LatLonGrid.regular(37, 72)
+        sh = SphericalHarmonics.build(grid, 24, dtype=jnp.float64, fold=True)
+        spec = random_spec(sh, key=5)
+        back = sh.analyze(sh.synthesize(spec))
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(spec), atol=1e-12
+        )
+
+    def test_f32_roundtrip(self):
+        grid = LatLonGrid.regular(37, 72)
+        sh = SphericalHarmonics.build(grid, 24, fold=True)
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(37, 72), jnp.float32
+        )
+        spec = sh.analyze(x)
+        back = sh.analyze(sh.synthesize(spec))
+        assert float(jnp.abs(back - spec).max()) < 1e-5
+
+    def test_asymmetric_grid_rejected(self):
+        lat = np.linspace(88.0, -90.0, 30)  # not equatorially symmetric
+        lon = np.arange(0, 360, 6.0)
+        grid = LatLonGrid.from_coords(lat, lon)
+        with pytest.raises(ValueError):
+            SphericalHarmonics.build(grid, 15, fold=True)
+
+    def test_jit_and_fourier_compose(self):
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 20, fold=True, fourier="matmul")
+        f = jax.jit(lambda x: sh.synthesize(sh.analyze(x)))
+        x = jnp.asarray(np.random.RandomState(2).randn(32, 64), jnp.float32)
+        out = f(x)
+        assert out.shape == (32, 64) and bool(jnp.isfinite(out).all())
