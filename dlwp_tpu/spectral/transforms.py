@@ -132,10 +132,13 @@ class SphericalHarmonics:
     # bytes. Tables are packed per m over the n's of matching parity
     # (n = 2k + m%2 for the symmetric class); ``None`` unless enabled.
     fold: bool
-    Psym: jax.Array | None   # (M, h, K) north-half synthesis, sym class
-    Panti: jax.Array | None  # (M, h, K) antisym class
-    Asym: jax.Array | None   # (M, K, h) analysis, applied to folded sums
-    Aanti: jax.Array | None  # (M, K, h) applied to folded differences
+    # {name: (sym, anti, p)}: parity-packed north-half tables for each
+    # base table (synthesis "P"/"G"/"H" as (M, h, K); analysis "A"/
+    # "AuPsi"/"AvPsi"/"AuChi"/"AvChi" as (M, K, h)). ``p`` is the parity
+    # offset: entries with (n + m + p) even are latitude-symmetric
+    # (p = 0 for P/G-type tables, 1 for H-type, whose mu-derivative
+    # flips parity).
+    fold_tabs: dict | None
     even_m: jax.Array | None  # (M, 1) bool: class <-> n-parity selector
     # Device-resident constant tables (all shaped [m, j, n] or [m, n]):
     P: jax.Array  # synthesis table
@@ -250,7 +253,7 @@ class SphericalHarmonics:
         if fourier == "matmul":
             dft_fwd, dft_inv = dft_tables(grid.nlon, M)
 
-        Psym = Panti = Asym = Aanti = even_m = None
+        fold_tabs = even_m = None
         if fold:
             mu = np.asarray(grid.mu, np.float64)
             if not np.allclose(mu, -mu[::-1], atol=1e-12):
@@ -259,35 +262,66 @@ class SphericalHarmonics:
                 )
             h = (J + 1) // 2
             K = (N + 1) // 2
-            Psym = np.zeros((M, h, K))
-            Panti = np.zeros((M, h, K))
-            Asym = np.zeros((M, K, h))
-            Aanti = np.zeros((M, K, h))
-            for m in range(M):
-                for k in range(K):
-                    n_s = 2 * k + m % 2       # (n + m) even: symmetric
-                    n_a = 2 * k + 1 - m % 2   # (n + m) odd: antisymmetric
-                    if n_s < N:
-                        Psym[m, :, k] = tab.P[m, :h, n_s]
-                        Asym[m, k, :] = A[m, n_s, :h]
-                    if n_a < N:
-                        Panti[m, :, k] = tab.P[m, :h, n_a]
-                        Aanti[m, k, :] = A[m, n_a, :h]
-            # Exactness guard: the WLS inverse must inherit the parity
-            # structure (it does on symmetric grids/weights -- the LS
-            # problem decouples by parity), else the fold is invalid.
-            scale = np.abs(A).max() or 1.0
-            for m in range(0, M, max(1, M // 4)):
-                for n in range(m, N):
-                    sgn = 1.0 if (n + m) % 2 == 0 else -1.0
-                    if not np.allclose(
-                        A[m, n, ::-1], sgn * A[m, n, :],
-                        atol=1e-10 * scale,
-                    ):
-                        raise ValueError(
-                            "analysis operator lacks hemisphere parity; "
-                            "fold=True is not valid on this grid"
-                        )
+
+            def check_parity(t, p, j_axis, name):
+                # Exactness guard: every base table must carry the
+                # declared hemisphere-parity structure (the WLS inverses
+                # inherit it on symmetric grids/weights -- the LS problem
+                # decouples by parity), else the fold is invalid.
+                scale = np.abs(t).max() or 1.0
+                flipped = np.flip(t, axis=j_axis)
+                for m in range(0, M, max(1, M // 4)):
+                    for n in range(m, N):
+                        idx = (m, slice(None), n) if j_axis == 1 else (m, n)
+                        sgn = 1.0 if (n + m + p) % 2 == 0 else -1.0
+                        if not np.allclose(
+                            flipped[idx], sgn * t[idx], atol=1e-10 * scale
+                        ):
+                            raise ValueError(
+                                f"{name} lacks hemisphere parity (p={p}); "
+                                "fold=True is not valid on this grid"
+                            )
+
+            def pack_syn(t, p):
+                # (M, J, N) -> north-half (M, h, K) sym/anti class pair.
+                sym = np.zeros((M, h, K))
+                anti = np.zeros((M, h, K))
+                for m in range(M):
+                    off = (m + p) % 2
+                    for k in range(K):
+                        if 2 * k + off < N:
+                            sym[m, :, k] = t[m, :h, 2 * k + off]
+                        if 2 * k + 1 - off < N:
+                            anti[m, :, k] = t[m, :h, 2 * k + 1 - off]
+                return sym, anti
+
+            def pack_ana(t, p):
+                # (M, N, J) -> north-half (M, K, h) sym/anti class pair.
+                sym = np.zeros((M, K, h))
+                anti = np.zeros((M, K, h))
+                for m in range(M):
+                    off = (m + p) % 2
+                    for k in range(K):
+                        if 2 * k + off < N:
+                            sym[m, k, :] = t[m, 2 * k + off, :h]
+                        if 2 * k + 1 - off < N:
+                            anti[m, k, :] = t[m, 2 * k + 1 - off, :h]
+                return sym, anti
+
+            fold_tabs = {}
+            # Synthesis-side: P and G are mu-even under (n+m) parity
+            # (p=0); H = cos * dP/dmu flips (p=1).
+            for name, t, p in (("P", tab.P, 0), ("G", tab.G, 0),
+                               ("H", tab.H, 1)):
+                check_parity(t, p, 1, name)
+                fold_tabs[name] = (*pack_syn(t, p), p)
+            # Analysis-side: A and the psi/chi wind inverses inherit the
+            # parity of the synthesis block they invert.
+            for name, t, p in (("A", A, 0), ("AuPsi", AuPsi, 1),
+                               ("AvPsi", AvPsi, 0), ("AuChi", AuChi, 0),
+                               ("AvChi", AvChi, 1)):
+                check_parity(t, p, 2, name)
+                fold_tabs[name] = (*pack_ana(t, p), p)
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
@@ -299,10 +333,9 @@ class SphericalHarmonics:
             dft_fwd=None if dft_fwd is None else f(dft_fwd),
             dft_inv=None if dft_inv is None else f(dft_inv),
             fold=bool(fold),
-            Psym=None if Psym is None else f(Psym),
-            Panti=None if Panti is None else f(Panti),
-            Asym=None if Asym is None else f(Asym),
-            Aanti=None if Aanti is None else f(Aanti),
+            fold_tabs=None if fold_tabs is None else {
+                k: (f(s), f(a), p) for k, (s, a, p) in fold_tabs.items()
+            },
             even_m=None if not fold else jnp.asarray(
                 (np.arange(M) % 2 == 0)[:, None]
             ),
@@ -418,48 +451,56 @@ class SphericalHarmonics:
         south = jnp.flip((e - o)[..., : J - h], axis=-1)
         return jnp.concatenate([e + o, south], axis=-1)
 
-    def _legendre_syn_folded(self, spec: jax.Array) -> jax.Array:
-        """Folded scalar synthesis: (..., m, n) -> (..., m, J) modes."""
+    def _sym_selector(self, p: int) -> jax.Array:
+        """(M, 1) bool: does the SYMMETRIC class occupy even-n slots?"""
+        return self.even_m if p == 0 else ~self.even_m
+
+    def _legendre_syn_folded(self, name: str, spec: jax.Array) -> jax.Array:
+        """Folded synthesis through packed table ``name``:
+        (..., m, n) complex -> (..., m, J) complex modes."""
         N = self.truncation + 1
         K = (N + 1) // 2
+        Tsym, Tanti, p = self.fold_tabs[name]
         ri = jnp.stack([spec.real, spec.imag]).astype(self.dtype)
         xe = ri[..., 0::2]  # n even, width K
         xo = ri[..., 1::2]  # n odd, width N - K
         if xo.shape[-1] < K:
             pad = [(0, 0)] * (xo.ndim - 1) + [(0, K - xo.shape[-1])]
             xo = jnp.pad(xo, pad)
-        # Symmetric class is n = m (mod 2); select per m row.
-        xs = jnp.where(self.even_m, xe, xo)
-        xa = jnp.where(self.even_m, xo, xe)
+        sel = self._sym_selector(p)
+        xs = jnp.where(sel, xe, xo)
+        xa = jnp.where(sel, xo, xe)
         e = jnp.einsum(
-            "mjk,z...mk->z...mj", self.Psym, xs,
+            "mjk,z...mk->z...mj", Tsym, xs,
             preferred_element_type=self.dtype, precision=self.precision,
         )
         o = jnp.einsum(
-            "mjk,z...mk->z...mj", self.Panti, xa,
+            "mjk,z...mk->z...mj", Tanti, xa,
             preferred_element_type=self.dtype, precision=self.precision,
         )
         out = self._unfold_rows(e, o)
         return jax.lax.complex(out[0], out[1])
 
-    def _legendre_ana_folded(self, Fm: jax.Array) -> jax.Array:
-        """Folded scalar analysis: (..., m, J) modes -> (..., m, n)."""
+    def _legendre_ana_folded(self, name: str, Fm: jax.Array) -> jax.Array:
+        """Folded analysis through packed table ``name``:
+        (..., m, J) modes -> (..., m, n) complex."""
         N = self.truncation + 1
         K = (N + 1) // 2
+        Tsym, Tanti, p = self.fold_tabs[name]
         ri = jnp.stack([Fm.real, Fm.imag]).astype(self.dtype)
         Fs, Fa = self._fold_rows(ri)
         xs = jnp.einsum(
-            "mkj,z...mj->z...mk", self.Asym, Fs,
+            "mkj,z...mj->z...mk", Tsym, Fs,
             preferred_element_type=self.dtype, precision=self.precision,
         )
         xa = jnp.einsum(
-            "mkj,z...mj->z...mk", self.Aanti, Fa,
+            "mkj,z...mj->z...mk", Tanti, Fa,
             preferred_element_type=self.dtype, precision=self.precision,
         )
-        # Interleave the parity classes back into dense n: even slots
-        # hold the symmetric class on even m rows, else the antisym one.
-        evens = jnp.where(self.even_m, xs, xa)            # n = 0, 2, ...
-        odds = jnp.where(self.even_m, xa, xs)[..., : N - K]  # n = 1, 3, ...
+        # Interleave the parity classes back into dense n.
+        sel = self._sym_selector(p)
+        evens = jnp.where(sel, xs, xa)            # n = 0, 2, ...
+        odds = jnp.where(sel, xa, xs)[..., : N - K]  # n = 1, 3, ...
         out = jnp.zeros(xs.shape[:-1] + (N,), dtype=self.dtype)
         out = out.at[..., 0::2].set(evens).at[..., 1::2].set(odds)
         return jax.lax.complex(out[0], out[1])
@@ -472,7 +513,7 @@ class SphericalHarmonics:
         """
         Fm = self._fourier(field.astype(self.dtype))
         if self.fold:
-            return self._legendre_ana_folded(Fm)
+            return self._legendre_ana_folded("A", Fm)
         return self._legendre_ana(self.A, Fm)
 
     def synthesize(self, spec: jax.Array) -> jax.Array:
@@ -482,7 +523,7 @@ class SphericalHarmonics:
         """
         if self.fold:
             return self._inv_fourier(
-                self._legendre_syn_folded(spec.astype(self.cdtype))
+                self._legendre_syn_folded("P", spec.astype(self.cdtype))
             )
         Fm = self._legendre_syn(self.P, spec.astype(self.cdtype))
         return self._inv_fourier(Fm)
@@ -513,6 +554,10 @@ class SphericalHarmonics:
         spec = spec.astype(self.cdtype)
         a = self.grid.radius
         im = (1j * self.m_vals / a).astype(self.cdtype)  # [m]
+        if self.fold:
+            dx_m = im[:, None] * self._legendre_syn_folded("G", spec)
+            dy_m = self._legendre_syn_folded("H", spec) / a
+            return self._inv_fourier(dx_m), self._inv_fourier(dy_m)
         # One contraction against the [G; H] stacked table (j-axis concat)
         # instead of two -- a single larger MXU matmul.
         J = self.grid.nlat
@@ -535,6 +580,12 @@ class SphericalHarmonics:
         chi = (div_spec * self.inv_laplacian_eig).astype(self.cdtype)
         a = self.grid.radius
         im = (1j * self.m_vals / a).astype(self.cdtype)
+        if self.fold:
+            both_H = self._legendre_syn_folded("H", jnp.stack([psi, chi]))
+            both_G = self._legendre_syn_folded("G", jnp.stack([psi, chi]))
+            u_m = -both_H[0] / a + im[:, None] * both_G[1]
+            v_m = im[:, None] * both_G[0] + both_H[1] / a
+            return self._inv_fourier(u_m), self._inv_fourier(v_m)
         # Single contraction: stack (psi, chi) into a leading batch and [H; G]
         # along the j axis -- 1 einsum replaces 4 (4x larger MXU matmul).
         J = self.grid.nlat
@@ -558,6 +609,12 @@ class SphericalHarmonics:
         """
         u_m = self._fourier(u.astype(self.dtype))
         v_m = self._fourier(v.astype(self.dtype))
+        if self.fold:
+            psi = (self._legendre_ana_folded("AuPsi", u_m)
+                   + 1j * self._legendre_ana_folded("AvPsi", v_m))
+            chi = (1j * self._legendre_ana_folded("AuChi", u_m)
+                   + self._legendre_ana_folded("AvChi", v_m))
+            return psi * self.laplacian_eig, chi * self.laplacian_eig
         # Single contraction: stack (u, v) into a leading batch with the four
         # analysis tables concatenated pairwise along the n axis.
         N = self.truncation + 1

@@ -387,3 +387,46 @@ class TestHemisphereFold:
         x = jnp.asarray(np.random.RandomState(2).randn(32, 64), jnp.float32)
         out = f(x)
         assert out.shape == (32, 64) and bool(jnp.isfinite(out).all())
+
+    @pytest.mark.parametrize(
+        "maker,J,L,T",
+        [("regular", 37, 72, 24), ("gaussian", 32, 64, 20),
+         ("regular", 36, 72, 23)],
+    )
+    def test_vector_transforms_match_dense(self, maker, J, L, T):
+        """Folded gradients / uv_from_vrtdiv / vrtdiv_from_uv vs dense
+        (relative round-off; winds carry the a ~ 6.4e6 radius scale)."""
+        grid = getattr(LatLonGrid, maker)(J, L)
+        a = SphericalHarmonics.build(grid, T, dtype=jnp.float64)
+        b = SphericalHarmonics.build(grid, T, dtype=jnp.float64, fold=True)
+        spec = random_spec(a, key=7, wind=True)
+
+        def rel(x, y):
+            x, y = np.asarray(x), np.asarray(y)
+            return np.abs(x - y).max() / max(np.abs(x).max(), 1e-300)
+
+        gxa, gya = a.gradients(spec)
+        gxb, gyb = b.gradients(spec)
+        assert rel(gxa, gxb) < 1e-12 and rel(gya, gyb) < 1e-12
+        ua, va = a.uv_from_vrtdiv(spec, 0.3 * spec)
+        ub, vb = b.uv_from_vrtdiv(spec, 0.3 * spec)
+        assert rel(ua, ub) < 1e-12 and rel(va, vb) < 1e-12
+        vda = jnp.stack(a.vrtdiv_from_uv(ua, va))
+        vdb = jnp.stack(b.vrtdiv_from_uv(ua, va))
+        assert rel(vda, vdb) < 1e-11
+
+    def test_folded_uv_roundtrip_identity(self):
+        """uv_from_vrtdiv then vrtdiv_from_uv is the identity on
+        band-limited winds through the folded paths too."""
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 20, dtype=jnp.float64,
+                                      fold=True)
+        spec = random_spec(sh, key=8, wind=True)
+        u, v = sh.uv_from_vrtdiv(spec, 0.5 * spec)
+        vrt, div = sh.vrtdiv_from_uv(u, v)
+        np.testing.assert_allclose(
+            np.asarray(vrt), np.asarray(spec), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(div), np.asarray(0.5 * spec), atol=1e-10
+        )
