@@ -121,6 +121,7 @@ class _BarotropicBase:
         spectral_mode: str = "reference",
         dtype=jnp.float32,
         fourier: str = "fft",
+        fold: bool = False,
         step_impl: str = "xla",
     ):
         if step_impl not in ("xla", "pallas"):
@@ -134,7 +135,7 @@ class _BarotropicBase:
         self.robert_coefficient = float(robert_coefficient)
         self.spectral_mode = spectral_mode
         self.sh = SphericalHarmonics.build(
-            grid, truncation, dtype=dtype, fourier=fourier
+            grid, truncation, dtype=dtype, fourier=fourier, fold=fold
         )
         self.damping = jnp.asarray(
             _hyperdiffusion(

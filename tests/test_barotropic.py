@@ -197,3 +197,23 @@ class TestDeterminism:
         assert np.array_equal(
             np.asarray(a.vrt_spec), np.asarray(b.vrt_spec)
         )
+
+
+def test_fold_trajectory_parity():
+    """fold=True (hemisphere-parity packed transforms) reproduces the
+    dense-path trajectories to f64 round-off in both dynamical forms."""
+    import jax
+
+    from dlwp_tpu.barotropic import BarotropicModel, BarotropicModelPsi
+    from dlwp_tpu.grid import LatLonGrid
+
+    grid = LatLonGrid.regular(37, 72)
+    z = 100.0 * np.random.RandomState(1).randn(37, 72)
+    for cls in (BarotropicModel, BarotropicModelPsi):
+        a = cls(grid, truncation=24, dt=1800.0, dtype=jnp.float64)
+        b = cls(grid, truncation=24, dt=1800.0, dtype=jnp.float64,
+                fold=True)
+        za = np.asarray(a.z_grid(a.run(a.from_z(jnp.asarray(z)), 20)))
+        zb = np.asarray(b.z_grid(b.run(b.from_z(jnp.asarray(z)), 20)))
+        rel = np.abs(za - zb).max() / np.abs(za).max()
+        assert rel < 1e-12, (cls.__name__, rel)
