@@ -268,9 +268,18 @@ def run_pallas(model, state, n_steps: int):
 
     Drop-in for the scan over ``step_forward`` (single-member f32 states).
     """
+    import warnings
+
     from dlwp_tpu.barotropic.model import BarotropicState
 
     interpret = jax.default_backend() == "cpu"
+    if interpret:
+        warnings.warn(
+            "step_impl='pallas' runs in Pallas interpret mode on CPU "
+            "(correct but slow; used by the tests). For CPU speed use "
+            "step_impl='xla'.",
+            stacklevel=2,
+        )
     parts = (
         state.vrt_spec.real.astype(jnp.float32),
         state.vrt_spec.imag.astype(jnp.float32),
