@@ -47,6 +47,7 @@ def __getattr__(name):
         "load_model": "dlwp_tpu.utils",
         "Servable": "dlwp_tpu.serve",
         "export_rollout": "dlwp_tpu.serve",
+        "export_barotropic": "dlwp_tpu.serve",
     }
     if name in _MAP:
         import importlib

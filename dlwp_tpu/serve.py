@@ -247,4 +247,64 @@ def export_rollout(
     return servable
 
 
-__all__ = ["Servable", "export_jitted", "export_rollout"]
+def export_barotropic(
+    model,
+    n_snapshots: int,
+    snapshot_every: int,
+    *,
+    batch: int | str | None = None,
+    platforms=("cpu", "tpu"),
+    path: str | None = None,
+) -> Servable:
+    """Export a barotropic integration (z0 -> height snapshots).
+
+    The barotropic model is the operational validation baseline
+    (reference ``examples/validate.py:250-273``); this gives it the same
+    compiled-artifact deployment as the CNN rollouts: the returned
+    servable maps an initial height field ``(..., nlat, nlon)`` to
+    ``(n_snapshots, ..., nlat, nlon)`` snapshots, with the integration
+    scheme and spectral tables baked into the program.
+
+    ``batch``: ``None`` exports the single-member shape; a symbolic name
+    (e.g. ``"b"``) makes the member axis polymorphic; an int pins it.
+    Requires ``step_impl='xla'`` (Pallas kernels lower only for TPU, so
+    they cannot be baked into a multi-platform artifact).
+    """
+    if getattr(model, "step_impl", "xla") != "xla":
+        raise ValueError(
+            "export_barotropic requires step_impl='xla' (the fused Pallas "
+            "kernel does not lower for multi-platform artifacts)"
+        )
+    J, L = model.grid.nlat, model.grid.nlon
+
+    def fn(z0):
+        state = model.from_z(z0)
+        _, _, zs = model.run_with_snapshots(
+            state, n_snapshots, snapshot_every
+        )
+        return zs
+
+    if isinstance(batch, str):
+        (b,) = jax_export.symbolic_shape(batch)
+        shape = (b, J, L)
+    elif batch is None:
+        shape = (J, L)
+    else:
+        shape = (int(batch), J, L)
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    meta = {
+        "kind": "barotropic",
+        "n_snapshots": int(n_snapshots),
+        "snapshot_every": int(snapshot_every),
+        "dt": float(model.dt),
+        "truncation": int(model.truncation),
+        "grid": [int(J), int(L)],
+        "spectral_mode": model.spectral_mode,
+    }
+    servable = export_jitted(fn, (spec,), platforms=platforms, meta=meta)
+    if path is not None:
+        servable.save(path)
+    return servable
+
+
+__all__ = ["Servable", "export_jitted", "export_rollout", "export_barotropic"]

@@ -151,3 +151,48 @@ class TestErrors:
         )
         with pytest.raises(ValueError, match="export_rollout"):
             servable.predict_timeseries(np.ones((3,), np.float32))
+
+
+class TestBarotropicExport:
+    def test_roundtrip_and_parity(self, tmp_path):
+        from dlwp_tpu.barotropic import BarotropicModelPsi
+        from dlwp_tpu.grid import LatLonGrid
+        from dlwp_tpu.serve import Servable, export_barotropic
+
+        grid = LatLonGrid.regular(25, 48)
+        model = BarotropicModelPsi(grid, truncation=15, dt=1800.0)
+        p = str(tmp_path / "baro.dlwpserve")
+        sv = export_barotropic(model, 2, 3, platforms=("cpu",), path=p)
+        z0 = jnp.asarray(
+            100.0 * np.random.RandomState(0).randn(25, 48), jnp.float32
+        )
+        out = np.asarray(Servable.load(p).call(z0))
+        assert out.shape == (2, 25, 48)
+        _, _, ref = model.run_with_snapshots(model.from_z(z0), 2, 3)
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    def test_batch_polymorphic(self):
+        from dlwp_tpu.barotropic import BarotropicModelPsi
+        from dlwp_tpu.grid import LatLonGrid
+        from dlwp_tpu.serve import export_barotropic
+
+        grid = LatLonGrid.regular(25, 48)
+        model = BarotropicModelPsi(grid, truncation=15, dt=1800.0)
+        sv = export_barotropic(model, 2, 2, batch="b", platforms=("cpu",))
+        for B in (1, 3):
+            z0 = jnp.asarray(
+                np.random.RandomState(B).randn(B, 25, 48), jnp.float32
+            )
+            assert np.asarray(sv.call(z0)).shape == (2, B, 25, 48)
+
+    def test_pallas_model_rejected(self):
+        from dlwp_tpu.barotropic import BarotropicModelPsi
+        from dlwp_tpu.grid import LatLonGrid
+        from dlwp_tpu.serve import export_barotropic
+
+        grid = LatLonGrid.regular(25, 48)
+        model = BarotropicModelPsi(
+            grid, truncation=15, dt=1800.0, step_impl="pallas"
+        )
+        with pytest.raises(ValueError):
+            export_barotropic(model, 2, 2)
