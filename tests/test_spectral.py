@@ -430,3 +430,39 @@ class TestHemisphereFold:
         np.testing.assert_allclose(
             np.asarray(div), np.asarray(0.5 * spec), atol=1e-10
         )
+
+
+class TestDftTables:
+    """dft_tables must reproduce numpy's rfft/irfft exactly (f64)."""
+
+    @pytest.mark.parametrize("L,M", [(144, 73), (72, 25), (73, 25), (48, 25)])
+    def test_forward_matches_rfft(self, L, M):
+        from dlwp_tpu.spectral.transforms import dft_tables
+
+        fwd, _ = dft_tables(L, M)
+        x = np.random.RandomState(0).randn(5, L)
+        both = x @ fwd  # (5, 2M)
+        ref = np.fft.rfft(x, axis=-1)[:, :M] / L
+        np.testing.assert_allclose(both[:, :M], ref.real, atol=1e-14)
+        np.testing.assert_allclose(both[:, M:], ref.imag, atol=1e-14)
+
+    @pytest.mark.parametrize("L,M", [(144, 73), (72, 25), (73, 25)])
+    def test_inverse_matches_irfft(self, L, M):
+        from dlwp_tpu.spectral.transforms import dft_tables
+
+        _, inv = dft_tables(L, M)
+        rng = np.random.RandomState(1)
+        re = rng.randn(4, M)
+        im = rng.randn(4, M)
+        grid = np.concatenate([re, im], axis=-1) @ inv  # (4, L)
+        nfreq = L // 2 + 1
+        F = np.zeros((4, nfreq), complex)
+        F[:, :M] = (re + 1j * im) * L
+        ref = np.fft.irfft(F, n=L, axis=-1)
+        np.testing.assert_allclose(grid, ref, atol=1e-12)
+
+    def test_over_nyquist_rejected(self):
+        from dlwp_tpu.spectral.transforms import dft_tables
+
+        with pytest.raises(ValueError):
+            dft_tables(64, 40)
