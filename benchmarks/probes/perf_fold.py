@@ -28,6 +28,11 @@ def timeit(fn, *a, repeats=5):
     return best
 
 
+REPS = 50  # in-graph repetitions: the tunnel's ~27 ms dispatch floor
+#            otherwise swamps every per-call timing at these sizes
+#            (first probe run measured 28 ms for a T72 B1 round trip).
+
+
 def main():
     for (mk, J, L, T, B) in [
         ("gaussian", 192, 384, 170, 1),
@@ -41,10 +46,20 @@ def main():
         x = jnp.asarray(rng.randn(B, J, L).squeeze(), jnp.float32)
         for fold in (False, True):
             sh = SphericalHarmonics.build(grid, T, fold=fold)
-            rt = jax.jit(lambda v: sh.analyze(sh.synthesize(sh.analyze(v))))
+
+            @jax.jit
+            def rt(v, sh=sh):
+                spec0 = sh.analyze(v)
+                spec = jax.lax.fori_loop(
+                    0, REPS,
+                    lambda i, s: sh.analyze(sh.synthesize(s)),
+                    spec0,
+                )
+                return spec
             t = timeit(rt, x)
             print(f"{mk} {J}x{L} T{T} B{B} fold={fold}: "
-                  f"{1e3 * t:.2f} ms/round-trip+analysis")
+                  f"{1e3 * t / REPS:.3f} ms/round-trip "
+                  f"(x{REPS} in-graph)", flush=True)
 
 
 if __name__ == "__main__":
