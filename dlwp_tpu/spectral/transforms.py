@@ -131,6 +131,10 @@ class SphericalHarmonics:
     # HALF the degrees each -- 2x fewer contraction FLOPs and table
     # bytes. Tables are packed per m over the n's of matching parity
     # (n = 2k + m%2 for the symmetric class); ``None`` unless enabled.
+    # Measured guidance (v5e, BASELINE.md): +66% on T170 single-field
+    # round trips; a wash at T72 (the packed degree count no longer
+    # clears the 128-lane tile) and under field/ensemble batching (the
+    # MXU is already full). Opt in for T >= ~150 single-field pipelines.
     fold: bool
     # {name: (sym, anti, p)}: parity-packed north-half tables for each
     # base table (synthesis "P"/"G"/"H" as (M, h, K); analysis "A"/
