@@ -146,17 +146,21 @@ def bench_barotropic(steps=500):
     else:
         raise last_err
     # Two-point step-count slope: cancels the tunnel's per-dispatch
-    # completion latency (BASELINE.md "Tunnel dispatch floor").
+    # completion latency (BASELINE.md "Tunnel dispatch floor");
+    # min-over-repeats at each point for stability.
     out4 = model.run(state, 4 * steps)  # compile the second program
     jax.block_until_ready(out4.vrt_spec)
-    t0 = time.perf_counter()
-    out = model.run(state, steps)
-    jax.block_until_ready(out.vrt_spec)
-    t1 = time.perf_counter()
-    out4 = model.run(state, 4 * steps)
-    jax.block_until_ready(out4.vrt_spec)
-    t2 = time.perf_counter()
-    per_step = max((t2 - t1) - (t1 - t0), 1e-9) / (3 * steps)
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = model.run(state, n)
+            jax.block_until_ready(out.vrt_spec)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = max(timed(4 * steps) - timed(steps), 1e-9) / (3 * steps)
     return 1.0 / per_step, impl
 
 
