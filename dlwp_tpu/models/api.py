@@ -207,6 +207,7 @@ class DLWPNeuralNet:
         if self.impute:
             predictors, targets = self.imputer_transform(predictors, targets)
         x, y = self.scaler_transform(predictors, targets)
+        self._sample_shape = tuple(np.shape(x)[1:])
         if validation_data is not None:
             val = validation_data
             if self.impute:
@@ -220,9 +221,22 @@ class DLWPNeuralNet:
         """Train from a batch generator (models.py:216-228). The generator
         is expected to yield already-scaled batches (as the reference's
         SeriesDataGenerator does)."""
+        shape = getattr(generator, "convolution_shape", None)
+        if shape is not None:
+            self._sample_shape = tuple(shape)
         return self.trainer.fit(
             generator=generator, validation_data=validation_data, **kwargs
         )
+
+    @property
+    def input_sample_shape(self) -> tuple | None:
+        """Per-sample input feature shape seen at fit time (None before
+        training). Persisted with the model; lets downstream tooling (e.g.
+        ``examples/validate.py``) rebuild a matching sampler -- notably
+        whether the trained inputs carried an insolation channel, which the
+        reference leaves to the user to re-specify by hand
+        (reference validate.py:191-194)."""
+        return self._sample_shape
 
     # ------------------------------------------------------------ inference
     def predict(self, predictors, **kwargs):
@@ -336,6 +350,7 @@ class DLWPNeuralNet:
 
     def __setstate__(self, state):
         self._params = state.pop("_params", None)
+        self._sample_shape = state.pop("_sample_shape", None)
         self.__dict__.update(state)
         self.base_model = None
         self.trainer = None

@@ -32,6 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--barotropic", action="store_true", default=True,
                    help="include the barotropic physics baseline")
     p.add_argument("--variable", default="HGT/500")
+    p.add_argument("--add-insolation", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="insolation input channel for the validation "
+                        "sampler; 'auto' matches the loaded model's "
+                        "trained input shape (the reference requires "
+                        "re-specifying this by hand, validate.py:191-194)")
     return p.parse_args(argv)
 
 
@@ -50,14 +56,26 @@ def main(argv=None):
         print("using synthetic demo data")
         data = synthetic_predictor_file()
 
+    if args.model_file:
+        dlwp = load_model(args.model_file)
+        # Reconcile the spatial grid with the trained input shape: a model
+        # trained under train.py's --crop-north-pole default expects one
+        # fewer latitude row (reference train.py:86-87).
+        trained = dlwp.input_sample_shape
+        if (trained is not None and data.lat[0] == 90.0
+                and trained[-2] == data.predictors.shape[-2] - 1):
+            print("auto: cropping the 90N row to match the trained grid")
+            data.predictors = np.asarray(data.predictors)[..., 1:, :]
+            data.lat = data.lat[1:]
+    else:
+        dlwp = None
+
     n = data.predictors.shape[0]
     n_val = int(n * args.validation_fraction)
     train_idx, val_idx = train_test_split_ind(n, n_val, method="last")
     val_data = data.isel_sample(val_idx)
 
-    if args.model_file:
-        dlwp = load_model(args.model_file)
-    else:
+    if dlwp is None:
         print("training a quick demo model in-line...")
         dlwp = DLWPNeuralNet(time_dim=1, scaler_type=None)
         sampler0 = SeriesSampler(
@@ -70,9 +88,32 @@ def main(argv=None):
         )
         dlwp.fit_generator(sampler0, epochs=5, verbose=False)
 
+    if args.add_insolation == "auto":
+        # Match the trained input shape: +1 channel per time step means the
+        # model was trained with the insolation forcing channel.
+        probe = SeriesSampler(val_data, model=dlwp,
+                              input_time_steps=dlwp.time_dim,
+                              output_time_steps=dlwp.time_dim, batch_size=64)
+        trained = dlwp.input_sample_shape
+        add_sol = (trained is not None
+                   and tuple(trained) != tuple(probe.convolution_shape))
+        if add_sol:
+            print("auto: model was trained with an insolation channel")
+    else:
+        add_sol = args.add_insolation == "on"
     val_gen = SeriesSampler(val_data, model=dlwp,
                             input_time_steps=dlwp.time_dim,
-                            output_time_steps=dlwp.time_dim, batch_size=64)
+                            output_time_steps=dlwp.time_dim, batch_size=64,
+                            add_insolation=add_sol)
+    if (dlwp.input_sample_shape is not None
+            and tuple(val_gen.convolution_shape)
+            != tuple(dlwp.input_sample_shape)):
+        raise SystemExit(
+            f"validation sampler item shape {val_gen.convolution_shape} "
+            f"does not match the model's trained input shape "
+            f"{dlwp.input_sample_shape}; check --add-insolation and the "
+            f"predictor file's variable set"
+        )
     estimator = TimeSeriesEstimator(dlwp, val_gen)
     n_iter = args.forecast_steps // estimator._out_ts
     forecast = estimator.predict(max(1, n_iter))
@@ -88,18 +129,31 @@ def main(argv=None):
     ver = ver[:, :, out_idx]
 
     v = forecast.varlev.index(args.variable) if args.variable in forecast.varlev else 0
+    err_axis = tuple(range(1, ver[:, :, v].ndim))
     results = {"f_hour": f_hour}
     results["forecast_rmse"] = verify.forecast_error(
-        forecast.values[:, :, v], ver[:, :, v], method="rmse",
-        axis=tuple(range(1, ver[:, :, v].ndim)),
+        forecast.values[:, :, v], ver[:, :, v], method="rmse", axis=err_axis,
     )
-    # Persistence baseline: initial state held fixed.
+    # Persistence baseline: the initial state held fixed, scored against
+    # the SAME lead-aligned verification as the forecast (the reference
+    # repeats the init state over the f_hour axis, validate.py:306-317;
+    # scoring the raw series against itself would mislabel lead-0 as the
+    # first forecast hour).
+    init_idx = [
+        int(np.where(np.asarray(val_data.sample) == t)[0][0])
+        for t in forecast.times
+    ]
+    init = np.asarray(val_data.predictors)[init_idx][:, out_idx][:, v]
+    results["persistence_rmse"] = verify.forecast_error(
+        np.repeat(init[None], steps_out, axis=0), ver[:, :, v],
+        method="rmse", axis=err_axis,
+    )
+    # Constant-climatology baseline on the same verification axis.
     series = np.asarray(val_data.predictors)[:, out_idx][:, v]
-    results["persistence_rmse"] = verify.persistence_error(
-        series, series, steps_out, method="rmse"
-    )
-    results["climatology_rmse"] = verify.climo_error(
-        series, steps_out, method="rmse"
+    climo = np.nanmean(series, axis=0)
+    results["climatology_rmse"] = verify.forecast_error(
+        np.broadcast_to(climo, (steps_out,) + ver[:, :, v].shape[1:]),
+        ver[:, :, v], method="rmse", axis=err_axis,
     )
 
     if args.barotropic:

@@ -95,6 +95,26 @@ class TestExampleWorkflows:
         assert "RMSE vs forecast hour" in out
         assert os.path.exists(tmp_path / "v.pkl")
 
+    def test_train_then_validate(self, tmp_path):
+        """The cross-script user flow: a model trained by train.py (whose
+        demo default adds the insolation channel) must validate via
+        validate.py's auto insolation detection -- regression for the
+        hardware-e2e failure where the validation sampler rebuilt 4-channel
+        inputs against a 6-channel trained model."""
+        run_example(
+            "train.py", "--epochs", "1", "--batch-size", "64",
+            "--model-file", str(tmp_path / "m"),
+        )
+        out = run_example(
+            "validate.py", "--forecast-steps", "2",
+            "--model-file", str(tmp_path / "m"),
+            "--plot-file", str(tmp_path / "v2.png"),
+            "--output-file", str(tmp_path / "v2.pkl"),
+            timeout=600,
+        )
+        assert "trained with an insolation channel" in out
+        assert "RMSE vs forecast hour" in out
+
     def test_train_distributed_virtual(self):
         out = run_example(
             "train_distributed.py", "--virtual", "4", "--data-shards", "2",
