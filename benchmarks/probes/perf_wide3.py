@@ -1,12 +1,10 @@
-"""In-model sweep of the entry conv+pool formulation (flagship rollout).
+"""Wide-grid (0.5-degree-class) in-model entry sweep: group vs chandense.
 
-Isolated-stage timings (perf_entry*.py) disagreed with in-model behavior:
-changroup won in isolation (526 vs 871/1400 us) but the full rollout bench
-regressed 802 -> 763 Mgp/s. This sweeps the FusedConvPool2D parity_impl
-inside the actual flagship step (with the dense one-conv upsample tail from
-ops.conv) and reports per-application time + implied rollout throughput.
+The block-diagonal dense entry (`conv_pool2_even_dilation(form='dense')`)
+halves the MXU tile passes of the grouped form at the flagship channel
+counts; this checks whether that carries to the 180x720 grid where
+'group' was the measured winner (BASELINE.md round 2+ re-sweep).
 """
-
 import time
 
 import numpy as np
@@ -19,7 +17,7 @@ from dlwp_tpu.models.cnn import SequentialModel
 from dlwp_tpu.models.layers import FusedConvPool2D
 from __graft_entry__ import _tower_specs
 
-B, H, W = 256, 36, 144
+B, H, W = 32, 180, 720
 
 
 def with_impl(model, impl):
@@ -30,9 +28,9 @@ def with_impl(model, impl):
     return SequentialModel(layers=ls)
 
 
-def timed(fn, *args, steps=50, repeats=3):
+def timed(fn, x, steps=30, repeats=3):
     def body(c, _):
-        y = fn(args[0] * c, *args[1:])
+        y = fn(x * c)
         return 1.0 + 0.0 * y.ravel()[0], ()
 
     @jax.jit
@@ -55,7 +53,7 @@ def main():
     x = jnp.asarray(rng.randn(B, 6, H, W), jnp.float32)
     params = base.init(jax.random.PRNGKey(0), x)
     ref = None
-    for impl in ["parity4", "chandense", "group", "unfused"]:
+    for impl in ["group", "chandense"]:
         m = with_impl(base, impl)
         out = jax.jit(lambda a, m=m: m.apply(params, a))(x)
         if ref is None:
@@ -64,8 +62,7 @@ def main():
             err = float(jnp.max(jnp.abs(out - ref)))
             assert err < 1e-4, (impl, err)
         t = timed(lambda a, m=m: m.apply(params, a), x)
-        gps = B * H * W / t
-        print(f"{impl:>10}: {t*1e6:8.1f} us/apply  -> ~{gps/1e6:7.1f} Mgp/s",
+        print(f"{impl:>10}: {t*1e6:9.1f} us/apply -> ~{B*H*W/t/1e6:6.1f} Mgp/s",
               flush=True)
 
 

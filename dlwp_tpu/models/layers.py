@@ -309,13 +309,16 @@ class FusedConvPool2D(nn.Module):
     use_pallas: bool | None = None  # None: off (measured slower; see above)
     # Even-dilation formulation: 'auto' (width-dependent, see below),
     # 'group' (parity planes stacked on channels, one
-    # feature_group_count=4 conv), 'parity4' (four separate quarter-grid
-    # convs + max), or 'unfused' (full-res conv + pool). Measured on v5e
-    # IN-MODEL (isolated-stage timings invert in context -- XLA fuses the
-    # strided parity slices into conv input fetches at narrow widths):
-    # flagship apply at W=144: parity4 1438 us < unfused 1444 < group
-    # 1579; at W=720: group 362 Mgp/s > unfused 287 > parity4 152. 'auto'
-    # picks parity4 for W <= _PARITY_MAX_W, group above it.
+    # feature_group_count=4 conv), 'chandense' (same stacking, one DENSE
+    # block-diagonal conv 4C -> 4O: half the MXU tile passes of the
+    # grouped form at small channel counts), 'parity4' (four separate
+    # quarter-grid convs + max), or 'unfused' (full-res conv + pool).
+    # Measured on v5e IN-MODEL (isolated-stage timings invert in context
+    # -- XLA fuses the strided parity slices into conv input fetches at
+    # narrow widths): flagship apply at W=144: parity4 1438 us < unfused
+    # 1444 < group 1579; at W=720: group 362 Mgp/s > unfused 287 >
+    # parity4 152. 'auto' picks parity4 for W <= _PARITY_MAX_W, group
+    # above it.
     parity_impl: str = "auto"
 
     @nn.compact
@@ -379,7 +382,10 @@ class FusedConvPool2D(nn.Module):
                 return act(m)
             from dlwp_tpu.ops.conv import conv_pool2_even_dilation
 
-            m = conv_pool2_even_dilation(x, kernel, dilation=dil)
+            m = conv_pool2_even_dilation(
+                x, kernel, dilation=dil,
+                form="dense" if impl == "chandense" else "group",
+            )
             if bias is not None:
                 m = m + bias[..., :, None, None]
             return act(m)

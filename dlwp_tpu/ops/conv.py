@@ -207,6 +207,7 @@ def conv_pool2_even_dilation(
     kernel: jax.Array,
     dilation: tuple[int, int] = (2, 2),
     precision=None,
+    form: str = "group",
 ) -> jax.Array:
     """``max_pool2d(cyclic_conv2d(x, kernel, dilation), 2)`` for EVEN
     dilations, computed on quarter-resolution parity planes.
@@ -215,9 +216,18 @@ def conv_pool2_even_dilation(
     (2r+a, 2u+b) reads only inputs of parity (a, b), so the 2x2 max pool
     is an elementwise max over four quarter-grid convs that never
     materialize the full-resolution activation. The four planes are
-    stacked on CHANNELS and run as ONE ``feature_group_count=4`` conv --
-    measured 526 us vs 871 (unfused) vs 1400 (four separate convs) for
-    the flagship entry stage on v5e (BASELINE.md round 2+).
+    stacked on CHANNELS and run as one conv in one of two forms:
+
+    - ``form='group'``: a ``feature_group_count=4`` grouped conv --
+      measured 526 us vs 871 (unfused) vs 1400 (four separate convs) for
+      the flagship entry stage on v5e (BASELINE.md round 2+).
+    - ``form='dense'``: ONE dense conv 4C -> 4O with a block-diagonal
+      kernel. 4x the nominal FLOPs, but the MXU pays per occupied tile:
+      at the flagship entry shapes the grouped form runs four
+      (K=54, N=32) contractions (one K/N tile pair each, ~10.5%
+      occupancy) while the dense form runs one (K=216, N=128)
+      contraction (2 K-tiles x 1 N-tile at ~84%/100% fill) -- half the
+      tile passes for the same quarter-grid M.
 
     Note the max is over RAW conv outputs: callers adding a bias and a
     monotone activation afterwards get exactly
@@ -239,13 +249,24 @@ def conv_pool2_even_dilation(
     ew = (kw - 1) * half_dil[1]
     xp = pad_latlon(xs, (eh // 2, eh - eh // 2), (ew // 2, ew - ew // 2))
     x4 = xp.reshape((-1,) + xp.shape[-3:])
-    o = lax.conv_general_dilated(
-        x4, jnp.tile(kernel, (4, 1, 1, 1)), (1, 1), "VALID",
-        rhs_dilation=half_dil,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=4,
-        precision=precision,
-    )
+    if form == "dense":
+        kb = jnp.zeros((4 * O, 4 * C, kh, kw), kernel.dtype)
+        for p in range(4):
+            kb = kb.at[p * O : (p + 1) * O, p * C : (p + 1) * C].set(kernel)
+        o = lax.conv_general_dilated(
+            x4, kb, (1, 1), "VALID",
+            rhs_dilation=half_dil,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=precision,
+        )
+    else:
+        o = lax.conv_general_dilated(
+            x4, jnp.tile(kernel, (4, 1, 1, 1)), (1, 1), "VALID",
+            rhs_dilation=half_dil,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=4,
+            precision=precision,
+        )
     o = o.reshape(lead + (4, O) + o.shape[-2:])
     return jnp.max(o, axis=len(lead))
 

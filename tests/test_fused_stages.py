@@ -107,19 +107,20 @@ class TestConvPoolFormulations:
     """The selectable FusedConvPool2D entry formulations and the
     conv_pool2_even_dilation op must all match the unfused chain."""
 
+    @pytest.mark.parametrize("form", ["group", "dense"])
     @pytest.mark.parametrize("dil", [2, 4])
-    def test_conv_pool2_even_dilation(self, dil):
+    def test_conv_pool2_even_dilation(self, dil, form):
         from dlwp_tpu.ops.conv import conv_pool2_even_dilation
 
         x = rand(2, 3, 16, 24, key=4)
         k = rand(5, 3, 3, 3, key=5, scale=0.2)
-        fused = conv_pool2_even_dilation(x, k, dilation=(dil, dil))
+        fused = conv_pool2_even_dilation(x, k, dilation=(dil, dil), form=form)
         oracle = max_pool2d(cyclic_conv2d(x, k, dilation=(dil, dil)), (2, 2))
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(oracle), atol=2e-6
         )
 
-    @pytest.mark.parametrize("impl", ["group", "parity4", "unfused"])
+    @pytest.mark.parametrize("impl", ["group", "chandense", "parity4", "unfused"])
     def test_layer_impls_match(self, impl):
         from dlwp_tpu.models.layers import FusedConvPool2D
 
