@@ -120,6 +120,19 @@ def row_conv2d(x, bank, bias=None, lat_mode="zero"):
 _ACT = {"tanh": torch.tanh, "linear": lambda t: t, None: lambda t: t}
 
 
+def to_tensors(weights, dtype=torch.float64, requires_grad=False):
+    """numpy weight dict -> torch tensor dict (optionally differentiable)."""
+    return {
+        i: {
+            k: torch.from_numpy(np.array(v)).to(dtype).requires_grad_(
+                requires_grad
+            )
+            for k, v in d.items()
+        }
+        for i, d in weights.items()
+    }
+
+
 def forward(specs, weights, x, dtype=torch.float64):
     """Run a layer-spec list (the framework's declarative model config,
     reference models.py:63-103 semantics) straight-line in torch.
@@ -128,9 +141,15 @@ def forward(specs, weights, x, dtype=torch.float64):
     ``layers_{i}`` entries of the flax param tree). ``x``: numpy input.
     """
     t = torch.from_numpy(np.array(x)).to(dtype)
+    return apply(specs, to_tensors(weights, dtype), t).numpy()
+
+
+def apply(specs, weights, t):
+    """Tensor-level spec walk: ``weights`` holds torch tensors (may carry
+    ``requires_grad`` so torch autograd can serve as a gradient oracle)."""
 
     def w(i, key):
-        return torch.from_numpy(np.array(weights[i][key])).to(dtype)
+        return weights[i][key]
 
     def pair(v):
         return (v, v) if isinstance(v, int) else tuple(v)
@@ -170,4 +189,4 @@ def forward(specs, weights, x, dtype=torch.float64):
             t = t.reshape((t.shape[0],) + tuple(args[0]))
         else:
             raise ValueError(f"torch oracle has no layer {name!r}")
-    return t.numpy()
+    return t

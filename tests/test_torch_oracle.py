@@ -139,3 +139,56 @@ class TestRowConnectedVsTorch:
         x = RNG.randn(2, 3, 6, 10)
         out_jax, out_torch = _run_both(specs, x)
         np.testing.assert_allclose(out_jax, out_torch, atol=1e-12)
+
+
+class TestGradientsVsTorch:
+    """Parameter gradients through the fused jax model vs torch autograd
+    through the unfused oracle — the training path's independent check
+    (catches VJP bugs the forward-parity tests cannot)."""
+
+    def _grads_both(self, specs, x):
+        import jax.numpy as jnp
+
+        model = build_sequential(specs)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out_shape = jax.eval_shape(model.apply, params, x).shape
+        probe = np.random.RandomState(11).randn(*out_shape)
+
+        def loss_fn(p):
+            return jnp.sum(model.apply(p, x) * probe)
+
+        g_jax = jax.grad(loss_fn)(params)["params"]
+
+        weights = {
+            int(k.split("_")[1]): jax.tree.map(np.asarray, v)
+            for k, v in params["params"].items()
+        }
+        wt = torch_cnn.to_tensors(weights, requires_grad=True)
+        out = torch_cnn.apply(specs, wt, _t(x))
+        (out * _t(probe)).sum().backward()
+        return g_jax, wt
+
+    def _compare(self, g_jax, wt):
+        for name, leaves in g_jax.items():
+            i = int(name.split("_")[1])
+            for key, g in leaves.items():
+                np.testing.assert_allclose(
+                    np.asarray(g),
+                    wt[i][key].grad.numpy(),
+                    atol=1e-9,
+                    err_msg=f"{name}/{key}",
+                )
+
+    def test_tower_grads(self):
+        from __graft_entry__ import _tower_specs
+
+        x = RNG.randn(2, 6, 8, 16)
+        self._compare(*self._grads_both(_tower_specs(4), x))
+
+    def test_convlstm_grads(self):
+        specs = [
+            ("ConvLSTM2D", (6, 3),
+             {"dilation": 2, "return_sequences": True, "activation": "tanh"}),
+        ]
+        x = RNG.randn(2, 3, 4, 8, 16)
+        self._compare(*self._grads_both(specs, x))
