@@ -25,6 +25,57 @@ import time
 import numpy as np
 
 
+def _product_estimator(batch, nlat, nlon, convlstm=False):
+    """Build the PRODUCT forecast stack: synthetic predictor dataset ->
+    SeriesSampler (+in-graph insolation channel) -> DLWPNeuralNet with the
+    flagship specs -> TimeSeriesEstimator. The benchmark then times the
+    exact ``rollout_fn`` program ``TimeSeriesEstimator.predict`` executes
+    (round-2 verdict: the headline previously measured a hand-rolled
+    channel splice instead of the code users run for forecasts)."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _tower_specs
+    from dlwp_tpu.data import PredictorDataset, SeriesSampler
+    from dlwp_tpu.forecast import TimeSeriesEstimator
+    from dlwp_tpu.models import DLWPNeuralNet
+
+    c, td = 2, 2  # HGT/500 + THICK/300-700, 2 in / 2 out time steps
+    n = batch + 2 * td + 2
+    data = PredictorDataset(
+        predictors=np.random.RandomState(0)
+        .randn(n, c, nlat, nlon)
+        .astype(np.float32),
+        sample=(np.datetime64("2007-01-01")
+                + np.arange(n) * np.timedelta64(6, "h")),
+        varlev=["HGT/500", "THICK/300-700"],
+        lat=np.linspace(87.5, 0.0, nlat),  # NH + pole crop (train.py:86-87)
+        lon=np.arange(nlon) * (360.0 / nlon),
+        mean=np.zeros(c, np.float32),
+        std=np.ones(c, np.float32),
+    )
+    dlwp = DLWPNeuralNet(time_dim=td, scaler_type=None,
+                         is_recurrent=convlstm)
+    if convlstm:
+        cv = c + 1
+        lstm_features = 4 * cv
+        specs = [
+            ("ConvLSTM2D", (lstm_features, 3),
+             {"dilation": 2, "return_sequences": True, "activation": "tanh"}),
+            ("Reshape", ((td * lstm_features, nlat, nlon),), None),
+            *_tower_specs(td * c),
+            ("Reshape", ((td, c, nlat, nlon),), None),
+        ]
+    else:
+        specs = _tower_specs(td * c)
+    dlwp.build_model(specs)
+    sampler = SeriesSampler(
+        data, model=dlwp, input_time_steps=td, output_time_steps=td,
+        batch_size=batch, add_insolation=True,
+    )
+    x_sample, _ = sampler.generate(np.arange(1), scale_and_impute=True)
+    dlwp.trainer.init(jnp.asarray(x_sample))
+    return TimeSeriesEstimator(dlwp, sampler)
+
+
 def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3,
                       pipeline=8):
     # batch 256 = ensemble-forecast serving configuration; measured batch
@@ -39,35 +90,24 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3,
     # two-point step-count slope in perf_dispatch_floor.py).
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _flagship
 
-    model, params, _ = _flagship(nlat=nlat, nlon=nlon, convlstm=False)
-    c_in = 6
-    x0 = jnp.asarray(
-        np.random.RandomState(0).randn(batch, c_in, nlat, nlon),
-        dtype=jnp.float32,
-    )
-
-    def step(x, _):
-        pred = model.apply(params, x)
-        # Whole-state feedback with forcing channels persisted (matched-IO
-        # rollout: predicted channels replace their input slots).
-        nxt = jnp.concatenate([pred[:, :2], x[:, 2:3], pred[:, 2:], x[:, 5:6]], axis=1)
-        return nxt, pred[:, :1]
+    est = _product_estimator(batch, nlat, nlon)
+    x0, init_days, mean_state, _ = est.prepare_inputs(np.arange(batch))
+    product_rollout = est.rollout_fn(steps)
 
     @jax.jit
-    def rollout(x):
-        _, out = jax.lax.scan(step, x, None, length=steps)
+    def rollout(x, days, ms):
+        preds = product_rollout(x, days, ms)
         # Mean over the trajectory: keeps the scan's full output out of
         # the pipelined queue's memory footprint without eliding work.
-        return jnp.mean(out), out[-1]
+        return jnp.mean(preds), preds[-1, :, 0, 0]
 
-    out = rollout(x0)
+    out = rollout(x0, init_days, mean_state)
     jax.block_until_ready(out)  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [rollout(x0) for _ in range(pipeline)]
+        outs = [rollout(x0, init_days, mean_state) for _ in range(pipeline)]
         jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     elapsed = min(times) / pipeline
@@ -78,35 +118,28 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3,
 def bench_convlstm_rollout(batch=64, steps=32, nlat=36, nlon=144, repeats=3,
                            pipeline=8):
     """Canonical ConvLSTM-front-end flagship rollout (reference
-    train.py:142-221 configuration) -- secondary diagnostic. Pipelined
-    dispatch, same methodology as the headline rollout."""
+    train.py:142-221 configuration, hard_sigmoid recurrent gates per the
+    standalone-Keras default) through the PRODUCT rollout path --
+    the accountable canonical-configuration number (emitted every round).
+    Pipelined dispatch, same methodology as the headline rollout."""
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _flagship
 
-    model, params, x0 = _flagship(nlat=nlat, nlon=nlon, convlstm=True)
-    x0 = jnp.asarray(
-        np.random.RandomState(0).randn(batch, *x0.shape[1:]),
-        dtype=jnp.float32,
-    )
-
-    def step(x, _):
-        pred = model.apply(params, x)  # (B, T, c, H, W)
-        # Feed predictions back; persist the insolation forcing channel.
-        nxt = jnp.concatenate([pred, x[:, :, 2:3]], axis=2)
-        return nxt, pred[:, 0, :1]
+    est = _product_estimator(batch, nlat, nlon, convlstm=True)
+    x0, init_days, mean_state, _ = est.prepare_inputs(np.arange(batch))
+    product_rollout = est.rollout_fn(steps)
 
     @jax.jit
-    def rollout(x):
-        _, out = jax.lax.scan(step, x, None, length=steps)
-        return jnp.mean(out), out[-1]
+    def rollout(x, days, ms):
+        preds = product_rollout(x, days, ms)
+        return jnp.mean(preds), preds[-1, :, 0, 0]
 
-    out = rollout(x0)
+    out = rollout(x0, init_days, mean_state)
     jax.block_until_ready(out)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [rollout(x0) for _ in range(pipeline)]
+        outs = [rollout(x0, init_days, mean_state) for _ in range(pipeline)]
         jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     elapsed = min(times) / pipeline
@@ -175,12 +208,15 @@ def main():
         )
     except Exception as e:  # secondary diagnostic must not break the bench
         print(f"barotropic bench failed: {e}", file=sys.stderr)
-    # Opt-in: the ConvLSTM scan program adds a long remote AOT compile.
-    if os.environ.get("BENCH_CONVLSTM", "0") != "0":
+    # The canonical reference configuration's accountable number: emitted
+    # unconditionally (round-2 verdict -- it must reach BENCH_r*.json's
+    # tail every round, not hide behind an env var). BENCH_CONVLSTM=0
+    # skips it for quick local runs only.
+    if os.environ.get("BENCH_CONVLSTM", "1") != "0":
         try:
             lstm_gps, _ = bench_convlstm_rollout()
             print(
-                f"convlstm flagship rollout (batch 64): "
+                f"convlstm flagship rollout (canonical config, batch 64): "
                 f"{lstm_gps / 1e6:.1f} Mgp/s",
                 file=sys.stderr,
             )

@@ -91,6 +91,134 @@ class TimeSeriesEstimator:
         self._lon = np.asarray(data.lon)
 
     # ------------------------------------------------------------------- API
+    def _advance(self, prefer_first_times: bool = True) -> int:
+        """Data steps the input window advances per model iteration
+        (extensions.py:160-172)."""
+        in_ts, out_ts = self._in_ts, self._out_ts
+        if out_ts <= in_ts:
+            es = out_ts
+        else:
+            es = in_ts if prefer_first_times else out_ts
+        return es + self._k - 1
+
+    def prepare_inputs(self, samples=()):
+        """Assemble the rollout's device inputs from the sampler.
+
+        Returns ``(x0, init_days, mean_state, init_times)``: the scaled
+        initial window (B, in_ts, C_in, H, W), per-sample fractional
+        day-of-year at initialization, the time-mean state used for imputed
+        channels (extensions.py:231-233), and the datetime64 init times.
+        """
+        s = self.sampler
+        samples = (
+            np.arange(s._n_sample) if len(samples) == 0 else np.asarray(samples)
+        )
+        p, _ = s.generate(samples, scale_and_impute=True)
+        B = p.shape[0]
+        H, W = self._lat.shape[0], self._lon.shape[0]
+        C_in = len(self._input_names)
+        x0 = jnp.asarray(p).reshape(B, self._in_ts, C_in, H, W)
+        init_times = s.sample_times(samples)
+        init_days = jnp.asarray(day_of_year(init_times))
+        mean_state = jnp.asarray(np.asarray(x0).mean(axis=(0, 1)))
+        return x0, init_days, mean_state, init_times
+
+    def rollout_fn(self, steps: int, prefer_first_times: bool = True):
+        """Build the jitted product rollout program.
+
+        Returns ``rollout(x0, init_days, mean_state) ->
+        (steps, B, out_ts, C_out, H, W)`` -- one ``lax.scan`` whose body
+        applies the model, recomputes the insolation forcing for each new
+        valid time in-graph, and splices predictions/previous-window/imputed
+        channels per the static source map. This is the exact program
+        :meth:`predict` executes (and what ``bench.py`` measures); all
+        shapes derive from the arguments at trace time.
+        """
+        steps = int(steps)
+        if steps < 1:
+            raise ValueError("steps must be >= 1")
+        in_ts, out_ts = self._in_ts, self._out_ts
+        k = self._k
+        dt_hours = self._dt_hours
+        lat = jnp.asarray(self._lat)
+        lon = jnp.asarray(self._lon)
+        H, W = self._lat.shape[0], self._lon.shape[0]
+        C_in = len(self._input_names)
+        sources = self._sources
+        is_recurrent = getattr(self.model, "is_recurrent", False)
+        params = self.model.trainer.params
+        apply_fn = self.model.trainer.model.apply
+        n_out = len(self._output_names)
+        adv = self._advance(prefer_first_times)
+
+        # Static source map per next-window slot m:
+        #   predicted output index j(m) (or None), previous-window slot
+        #   m + adv (or None if out of range).
+        def out_index(m):
+            j = m - in_ts + out_ts if out_ts <= in_ts else (
+                m if prefer_first_times else m + out_ts - in_ts
+            )
+            return j if 0 <= j < out_ts else None
+
+        slot_plan = []
+        for m in range(in_ts):
+            j = out_index(m)
+            prev = m + adv if (j is None and m + adv < in_ts) else None
+            slot_plan.append((j, prev))
+
+        def model_step(x):
+            B = x.shape[0]
+            if is_recurrent:
+                inp = x
+            else:
+                inp = x.reshape(B, in_ts * C_in, H, W)
+            pred = apply_fn(params, inp)
+            return pred.reshape(B, out_ts, n_out, H, W)
+
+        def build_next(x, pred, it, init_days, mean_state):
+            B = x.shape[0]
+            # Day-of-year of next-window slot m, relative to the init time
+            # (the last input step of window 0): raw offset
+            # (it+1)*adv + m - (in_ts - 1).
+            m_idx = jnp.arange(in_ts, dtype=x.dtype)
+            offs = ((it + 1.0) * adv + m_idx - (in_ts - 1.0)) * (dt_hours / 24.0)
+            days = init_days[:, None] + offs[None, :]  # (B, in_ts)
+            sol = None
+            slots = []
+            for m, (j, prev) in enumerate(slot_plan):
+                channels = []
+                for c, (kind, idx) in enumerate(sources):
+                    if kind == "sol":
+                        if sol is None:
+                            sol = insolation(
+                                days.reshape(-1), lat, lon
+                            ).reshape(B, in_ts, H, W)
+                        channels.append(sol[:, m])
+                    elif kind == "pred" and j is not None:
+                        channels.append(pred[:, j, idx])
+                    elif prev is not None:
+                        channels.append(x[:, prev, c])
+                    else:
+                        channels.append(
+                            jnp.broadcast_to(mean_state[c], (B, H, W))
+                        )
+                slots.append(jnp.stack(channels, axis=1))  # (B, C_in, H, W)
+            return jnp.stack(slots, axis=1).astype(x.dtype)
+
+        @jax.jit
+        def rollout(x0, init_days, mean_state):
+            def scan_body(x, it):
+                pred = model_step(x)
+                x_next = build_next(x, pred, it, init_days, mean_state)
+                return x_next, pred
+
+            _, preds = jax.lax.scan(
+                scan_body, x0, jnp.arange(steps, dtype=x0.dtype)
+            )
+            return preds  # (steps, B, out_ts, C_out, H, W)
+
+        return rollout
+
     def predict(
         self,
         steps: int,
@@ -118,106 +246,16 @@ class TimeSeriesEstimator:
         steps = int(steps)
         if steps < 1:
             raise ValueError("steps must be >= 1")
-        s = self.sampler
-        samples = (
-            np.arange(s._n_sample) if len(samples) == 0 else np.asarray(samples)
-        )
-        p, _ = s.generate(samples, scale_and_impute=True)
-        B = p.shape[0]
-        H, W = self._lat.shape[0], self._lon.shape[0]
-        C_in = len(self._input_names)
-        x0 = jnp.asarray(p).reshape(B, self._in_ts, C_in, H, W)
-
-        init_times = s.sample_times(samples)
-        init_days = jnp.asarray(day_of_year(init_times))
-        # Mean state for imputed channels (extensions.py:231-233).
-        mean_state = jnp.asarray(
-            np.asarray(x0).mean(axis=(0, 1))
-        )  # (C_in, H, W)
-
-        in_ts, out_ts = self._in_ts, self._out_ts
-        k = self._k
+        x0, init_days, mean_state, init_times = self.prepare_inputs(samples)
+        rollout = self.rollout_fn(steps, prefer_first_times)
+        preds = np.asarray(rollout(x0, init_days, mean_state))
+        in_ts, out_ts, k = self._in_ts, self._out_ts, self._k
         dt_hours = self._dt_hours
-        lat = jnp.asarray(self._lat)
-        lon = jnp.asarray(self._lon)
-        sources = self._sources
-        is_recurrent = getattr(self.model, "is_recurrent", False)
-        params = self.model.trainer.params
-        apply_fn = self.model.trainer.model.apply
+        B = x0.shape[0]
+        H, W = self._lat.shape[0], self._lon.shape[0]
         n_out = len(self._output_names)
-
-        # Effective advance per model iteration (extensions.py:160-172).
-        if out_ts <= in_ts:
-            es = out_ts
-        else:
-            es = in_ts if prefer_first_times else out_ts
-        adv = es + k - 1  # window start moves this many data steps
-
-        # Static source map per next-window slot m:
-        #   predicted output index j(m) (or None), previous-window slot
-        #   m + adv (or None if out of range).
-        def out_index(m):
-            j = m - in_ts + out_ts if out_ts <= in_ts else (
-                m if prefer_first_times else m + out_ts - in_ts
-            )
-            return j if 0 <= j < out_ts else None
-
-        slot_plan = []
-        for m in range(in_ts):
-            j = out_index(m)
-            prev = m + adv if (j is None and m + adv < in_ts) else None
-            slot_plan.append((j, prev))
-
-        def model_step(x):
-            if is_recurrent:
-                inp = x
-            else:
-                inp = x.reshape(B, in_ts * C_in, H, W)
-            pred = apply_fn(params, inp)
-            return pred.reshape(B, out_ts, n_out, H, W)
-
-        def build_next(x, pred, it):
-            # Day-of-year of next-window slot m, relative to the init time
-            # (the last input step of window 0): raw offset
-            # (it+1)*adv + m - (in_ts - 1).
-            m_idx = jnp.arange(in_ts, dtype=x0.dtype)
-            offs = ((it + 1.0) * adv + m_idx - (in_ts - 1.0)) * (dt_hours / 24.0)
-            days = init_days[:, None] + offs[None, :]  # (B, in_ts)
-            sol = None
-            slots = []
-            for m, (j, prev) in enumerate(slot_plan):
-                channels = []
-                for c, (kind, idx) in enumerate(sources):
-                    if kind == "sol":
-                        if sol is None:
-                            sol = insolation(
-                                days.reshape(-1), lat, lon
-                            ).reshape(B, in_ts, H, W)
-                        channels.append(sol[:, m])
-                    elif kind == "pred" and j is not None:
-                        channels.append(pred[:, j, idx])
-                    elif prev is not None:
-                        channels.append(x[:, prev, c])
-                    else:
-                        channels.append(
-                            jnp.broadcast_to(mean_state[c], (B, H, W))
-                        )
-                slots.append(jnp.stack(channels, axis=1))  # (B, C_in, H, W)
-            return jnp.stack(slots, axis=1).astype(x.dtype)
-
-        def scan_body(x, it):
-            pred = model_step(x)
-            x_next = build_next(x, pred, it)
-            return x_next, pred
-
-        @jax.jit
-        def rollout(x):
-            _, preds = jax.lax.scan(
-                scan_body, x, jnp.arange(steps, dtype=x0.dtype)
-            )
-            return preds  # (steps, B, out_ts, C_out, H, W)
-
-        preds = np.asarray(rollout(x0))
+        adv = self._advance(prefer_first_times)
+        s = self.sampler
         # (steps, B, out_ts, C, H, W) -> (steps*out_ts, B, C, H, W) f_hour-major
         preds = preds.transpose(0, 2, 1, 3, 4, 5).reshape(
             steps * out_ts, B, n_out, H, W

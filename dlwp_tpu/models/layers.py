@@ -30,7 +30,11 @@ _ACTIVATIONS: dict[str, Callable] = {
     "tanh": jnp.tanh,
     "relu": jax.nn.relu,
     "sigmoid": jax.nn.sigmoid,
-    "hard_sigmoid": jax.nn.hard_sigmoid,
+    # Keras's definition (clip(0.2x + 0.5, 0, 1)), NOT jax.nn.hard_sigmoid
+    # (relu6(x+3)/6, slope 1/6): the reference runs standalone Keras, where
+    # hard_sigmoid is ConvLSTM2D's default recurrent activation
+    # (reference train.py:150-156 passes only activation='tanh').
+    "hard_sigmoid": lambda x: jnp.clip(0.2 * x + 0.5, 0.0, 1.0),
     "elu": jax.nn.elu,
     "selu": jax.nn.selu,
     "gelu": jax.nn.gelu,
@@ -168,19 +172,21 @@ class ConvLSTM2D(nn.Module):
     """Convolutional LSTM over (batch, T, C, H, W), spherical boundaries.
 
     Covers the reference's ``ConvLSTM2D`` front end (train.py:144-157,
-    Keras semantics: gates = sigmoid, candidate/output = tanh by default,
-    ``return_sequences`` to emit every step). Both the input and recurrent
-    convolutions use periodic-longitude padding, so the recurrent state
-    respects the spherical topology -- the reference could only pad the
-    *input* (PeriodicPadding3D) and ran the recurrent conv with flat 'same'
-    padding.
+    standalone-Keras semantics: gates = hard_sigmoid (the Keras default the
+    reference leaves in place -- it passes only ``activation='tanh'``),
+    candidate/output = tanh, ``return_sequences`` to emit every step).
+    ``recurrent_activation='sigmoid'`` selects the smooth-gate variant.
+    Both the input and recurrent convolutions use periodic-longitude
+    padding, so the recurrent state respects the spherical topology -- the
+    reference could only pad the *input* (PeriodicPadding3D) and ran the
+    recurrent conv with flat 'same' padding.
     """
 
     features: int
     kernel_size: int | tuple[int, int] = 3
     dilation: int | tuple[int, int] = 1
     activation: str | Callable = "tanh"
-    recurrent_activation: str | Callable = "sigmoid"
+    recurrent_activation: str | Callable = "hard_sigmoid"
     return_sequences: bool = True
     lat_mode: str = "zero"
     dtype: Any = None

@@ -60,6 +60,7 @@ class ShardedBarotropicModel(BarotropicModel):
         modes_ri = jnp.einsum(
             "mjn,k...mn->k...mj", table, ri.astype(sh.dtype),
             preferred_element_type=sh.dtype,
+            precision=sh.precision,
         )
         modes = jax.lax.complex(modes_ri[0], modes_ri[1])
         P0 = _mslice(sh.P[:, :, 0:1], self.axis, ssh.m_per)
@@ -67,6 +68,7 @@ class ShardedBarotropicModel(BarotropicModel):
         n0_modes_ri = jnp.einsum(
             "mjn,k...mn->k...mj", P0, n0_ri.astype(sh.dtype),
             preferred_element_type=sh.dtype,
+            precision=sh.precision,
         )
         n0_modes = jax.lax.complex(n0_modes_ri[0], n0_modes_ri[1])
         i0 = jax.lax.axis_index(self.axis) * ssh.m_per

@@ -93,8 +93,14 @@ class ShardedSphericalHarmonics:
         F = self.local_fourier(x_local.astype(self.sh.dtype))
         F = self._transpose_to_spec(F)  # (.., m_local, j_all)
         A = _mslice(self.sh.A, self.axis, self.m_per)
+        # precision must match the single-device engine: TPU lowers fp32
+        # matmuls to bf16 MXU passes at DEFAULT precision (costs ~4 digits;
+        # see SphericalHarmonics.precision) and the CPU-mesh tests that
+        # validate this path structurally cannot detect the difference.
         return jnp.einsum(
-            "mnj,...mj->...mn", A, F, preferred_element_type=self.sh.cdtype
+            "mnj,...mj->...mn", A, F,
+            preferred_element_type=self.sh.cdtype,
+            precision=self.sh.precision,
         )
 
     def local_synthesize(self, spec_local: jax.Array) -> jax.Array:
@@ -102,6 +108,7 @@ class ShardedSphericalHarmonics:
         F = jnp.einsum(
             "mjn,...mn->...mj", Ptab, spec_local.astype(self.sh.cdtype),
             preferred_element_type=self.sh.cdtype,
+            precision=self.sh.precision,
         )
         F = self._transpose_to_grid(F)  # (.., m_all, j_local)
         return self.local_inv_fourier(F)
@@ -117,7 +124,9 @@ class ShardedSphericalHarmonics:
         m_vals = i0 + jnp.arange(self.m_per, dtype=self.sh.dtype)
         im = (1j * m_vals / a).astype(self.sh.cdtype)
         syn = lambda tab, s: jnp.einsum(
-            "mjn,...mn->...mj", tab, s, preferred_element_type=self.sh.cdtype
+            "mjn,...mn->...mj", tab, s,
+            preferred_element_type=self.sh.cdtype,
+            precision=self.sh.precision,
         )
         u_m = -syn(H, psi) / a + im[:, None] * syn(G, chi)
         v_m = im[:, None] * syn(G, psi) + syn(H, chi) / a
@@ -135,6 +144,7 @@ class ShardedSphericalHarmonics:
         ana = lambda tab, F: jnp.einsum(
             "mnj,...mj->...mn", _mslice(tab, self.axis, self.m_per), F,
             preferred_element_type=self.sh.cdtype,
+            precision=self.sh.precision,
         )
         psi = ana(self.sh.AuPsi, u_m) + 1j * ana(self.sh.AvPsi, v_m)
         chi = 1j * ana(self.sh.AuChi, u_m) + ana(self.sh.AvChi, v_m)

@@ -155,6 +155,23 @@ def main(argv=None):
         np.broadcast_to(climo, (steps_out,) + ver[:, :, v].shape[1:]),
         ver[:, :, v], method="rmse", axis=err_axis,
     )
+    # Month-aware climatology baseline (the reference's actual workflow,
+    # validate.py:319-325): climatology from the full archive, scored over
+    # the validation subset. Falls back to the constant-climo row above
+    # when the archive spans less than a year (months without samples).
+    full_times = np.asarray(data.sample, dtype="datetime64[ns]")
+    span_days = (full_times.max() - full_times.min()) / np.timedelta64(1, "D")
+    if span_days >= 360.0:
+        full_series = np.asarray(data.predictors)[:, out_idx][:, v]
+        val_mask = np.isin(full_times,
+                           np.asarray(val_data.sample, dtype="datetime64[ns]"))
+        results["monthly_climo_rmse"] = verify.monthly_climo_error(
+            full_series, full_times, val_mask, n_fhour=steps_out,
+            method="rmse",
+        )
+    else:
+        print("archive spans < 1 year; monthly climatology baseline skipped"
+              " (constant climatology row applies)")
 
     if args.barotropic:
         results["barotropic_rmse"] = _barotropic_baseline(

@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--pairwise", action="store_true", default=True)
     p.add_argument("--no-scale", action="store_true")
     p.add_argument("--batch-samples", type=int, default=1000)
+    p.add_argument("--n-samples", type=int, default=600,
+                   help="synthetic-source archive length (6-hourly samples)")
     p.add_argument("--output-file", default="predictors.h5")
     args = p.parse_args(argv)
 
@@ -42,7 +44,7 @@ def main(argv=None):
         from _synthetic import SyntheticGlobalSource
 
         print("no --cfs-root; using synthetic source")
-        source = SyntheticGlobalSource()
+        source = SyntheticGlobalSource(n_samples=args.n_samples)
 
     variables = args.variables.split(",")
     levels = [l if "-" in l else int(l) for l in args.levels.split(",")]

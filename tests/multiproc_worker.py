@@ -36,6 +36,13 @@ def main() -> None:
     # already be imported by site customization; these are read lazily).
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # The env var alone is ineffective if jax was already imported (its
+    # config default is captured at import time) -- pin via the config API
+    # too, so the documented standalone invocation cannot silently pick a
+    # non-CPU backend.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
     from dlwp_tpu.parallel.distributed import (
         initialize_distributed,

@@ -5,8 +5,11 @@ of the layers the flagship model is built from — periodic-longitude
 convolution (reference ``PeriodicPadding2D + ZeroPadding2D + Conv2D``,
 custom.py:139-214 + train.py:152-158), Keras-default max pooling /
 nearest-neighbor upsampling (train.py:159-218), and a ConvLSTM cell with
-Keras gate semantics (i, f, g, o; sigmoid gates, tanh candidate/output —
-models the reference's ConvLSTM2D front end, train.py:144-157).
+standalone-Keras gate semantics (i, f, g, o; hard_sigmoid gates — the Keras
+default the reference leaves in place by passing only activation='tanh' —
+tanh candidate/output; models the reference's ConvLSTM2D front end,
+train.py:144-157). 'sigmoid' gates remain selectable for the smooth-gate
+variant.
 
 Written directly against torch primitives with no jax imports, so any
 agreement with ``dlwp_tpu`` is evidence of correct semantics rather than a
@@ -73,15 +76,27 @@ def upsample2d(x, factor=2):
     return F.interpolate(x, scale_factor=factor, mode="nearest")
 
 
+def hard_sigmoid(t):
+    """Keras's hard_sigmoid: clip(0.2x + 0.5, 0, 1). (torch.nn.functional
+    ``hardsigmoid`` and jax.nn.hard_sigmoid both use relu6(x+3)/6 -- slope
+    1/6, a DIFFERENT function; the reference runs standalone Keras.)"""
+    return torch.clamp(0.2 * t + 0.5, 0.0, 1.0)
+
+
+_GATE_ACT = {"hard_sigmoid": hard_sigmoid, "sigmoid": torch.sigmoid}
+
+
 def conv_lstm(x, input_kernel, recurrent_kernel, bias, dilation=(1, 1),
-              lat_mode="zero"):
+              lat_mode="zero", recurrent_activation="hard_sigmoid"):
     """Keras-semantics ConvLSTM over (B, T, C, H, W) with spherical
     boundaries on BOTH convolutions (the input conv takes ``dilation``, the
     recurrent conv is undilated). Gate order i, f, g, o along the channel
-    axis; zero initial state. Returns the full hidden sequence
-    (B, T, F, H, W)."""
+    axis; zero initial state; hard_sigmoid gates by default (the
+    standalone-Keras default the reference model runs with). Returns the
+    full hidden sequence (B, T, F, H, W)."""
     B, T, C, H, W = x.shape
     feats = recurrent_kernel.shape[1]
+    r_act = _GATE_ACT[recurrent_activation]
     h = x.new_zeros((B, feats, H, W))
     c = x.new_zeros((B, feats, H, W))
     outs = []
@@ -93,8 +108,8 @@ def conv_lstm(x, input_kernel, recurrent_kernel, bias, dilation=(1, 1),
             + bias[:, None, None]
         )
         i, f, g, o = torch.chunk(z, 4, dim=1)
-        c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
-        h = torch.sigmoid(o) * torch.tanh(c)
+        c = r_act(f) * c + r_act(i) * torch.tanh(g)
+        h = r_act(o) * torch.tanh(c)
         outs.append(h)
     return torch.stack(outs, dim=1)
 
@@ -170,6 +185,8 @@ def apply(specs, weights, t):
                 t, w(i, "input_kernel"), w(i, "recurrent_kernel"),
                 w(i, "bias"), dilation=pair(kwargs.get("dilation", 1)),
                 lat_mode=kwargs.get("lat_mode", "zero"),
+                recurrent_activation=kwargs.get("recurrent_activation",
+                                                "hard_sigmoid"),
             )
             if not kwargs.get("return_sequences", True):
                 t = t[:, -1]

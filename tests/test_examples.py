@@ -9,6 +9,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 EXAMPLES = os.path.join(
@@ -93,7 +94,35 @@ class TestExampleWorkflows:
             timeout=600,
         )
         assert "RMSE vs forecast hour" in out
+        # Sub-year synthetic archive -> the monthly-climatology baseline
+        # falls back to the constant-climo row, with a notice.
+        assert "monthly climatology baseline skipped" in out
         assert os.path.exists(tmp_path / "v.pkl")
+
+    def test_validate_monthly_climo(self, tmp_path):
+        """A multi-year archive gains the month-aware climatology baseline
+        (reference validate.py:319-325)."""
+        import pickle
+
+        p = str(tmp_path / "long.h5")
+        run_example("write_predictors.py", "--n-samples", "1560",
+                    "--output-file", p)
+        out = run_example(
+            "validate.py", "--predictor-file", p,
+            "--forecast-steps", "2",
+            "--plot-file", str(tmp_path / "vm.png"),
+            "--output-file", str(tmp_path / "vm.pkl"),
+            timeout=600,
+        )
+        assert "monthly" in out
+        with open(tmp_path / "vm.pkl", "rb") as f:
+            results = pickle.load(f)
+        assert "monthly_climo_rmse" in results
+        assert np.all(np.isfinite(results["monthly_climo_rmse"]))
+        # The synthetic source has a seasonal cycle, so the month-aware
+        # climatology must beat the constant one.
+        assert (results["monthly_climo_rmse"][0]
+                < results["climatology_rmse"][0])
 
     def test_train_then_validate(self, tmp_path):
         """The cross-script user flow: a model trained by train.py (whose

@@ -45,7 +45,14 @@ def _parse(stdout: str) -> dict:
 def test_two_process_distributed():
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(WORKER))
+    # Prepend (not overwrite): the host environment may carry entries the
+    # interpreter needs (e.g. the TPU-plugin site customization path).
+    # JAX_PLATFORMS=cpu below keeps that plugin inert if present.
+    repo_root = os.path.dirname(os.path.dirname(WORKER))
+    prior = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = (
+        repo_root + os.pathsep + prior if prior else repo_root
+    )
     # The worker pins its own JAX_PLATFORMS/XLA_FLAGS before backend
     # creation; scrub the parent's 8-device flag so it cannot leak in.
     env.pop("XLA_FLAGS", None)

@@ -698,3 +698,95 @@ class TestProfilingUtils:
         t.start()
         t.stop()
         assert t.best >= 0.0 and len(t.times) == 1
+
+
+def _subjaxprs(v):
+    """Yield any jaxprs hiding in an eqn param value (ClosedJaxpr, Jaxpr,
+    or containers thereof)."""
+    if hasattr(v, "eqns"):
+        yield v
+    elif hasattr(v, "jaxpr"):
+        yield v.jaxpr
+    elif isinstance(v, (tuple, list)):
+        for item in v:
+            yield from _subjaxprs(item)
+
+
+def _collect_dot_precisions(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            for sub in _subjaxprs(v):
+                _collect_dot_precisions(sub, out)
+
+
+class TestShardedPrecisionAudit:
+    """Every contraction in the *sharded* spectral paths must carry HIGHEST
+    matmul precision.
+
+    TPU lowers fp32 matmuls to reduced-precision bf16 MXU passes at DEFAULT
+    precision -- the round-2 transforms finding (T170 fp32 round trips:
+    3.1e-3 relative at default vs 2.5e-7 at 'highest', BASELINE.md) -- and
+    the CPU-mesh parity tests that validate these paths structurally cannot
+    detect it (CPU ignores the precision hint).  This audit walks the jaxpr
+    instead, so a dropped ``precision=`` kwarg fails loudly on any backend.
+    """
+
+    HIGHEST = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+
+    def _assert_all_highest(self, fn, *args, min_dots=1):
+        closed = jax.make_jaxpr(fn)(*args)
+        dots = []
+        _collect_dot_precisions(closed.jaxpr, dots)
+        assert len(dots) >= min_dots, (
+            f"expected >= {min_dots} dot_general eqns, found {len(dots)}"
+            " -- the audit no longer covers the contraction path"
+        )
+        bad = [p for p in dots if p != self.HIGHEST]
+        assert not bad, f"dot_general(s) without HIGHEST precision: {bad}"
+
+    def _engine(self):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(grid, 15, dtype=jnp.float32)
+        return ShardedSphericalHarmonics(sh, mesh), mesh
+
+    def test_analyze_synthesize(self):
+        ssh, mesh = self._engine()
+        f = jnp.zeros((2, 32, 64), jnp.float32)
+        self._assert_all_highest(ssh.analyze, f)
+        spec = jnp.zeros((2, 16, 16), jnp.complex64)
+        self._assert_all_highest(ssh.synthesize, spec)
+
+    def test_vector_transforms(self):
+        ssh, mesh = self._engine()
+        spec = jnp.zeros((16, 16), jnp.complex64)
+        self._assert_all_highest(
+            lambda v, d: ssh.uv_from_vrtdiv(v, d), spec, spec, min_dots=4
+        )
+        g = jnp.zeros((32, 64), jnp.float32)
+        self._assert_all_highest(
+            lambda u, v: ssh.vrtdiv_from_uv(u, v), g, g, min_dots=4
+        )
+
+    def test_sharded_barotropic_step(self):
+        require_devices(8)
+        from dlwp_tpu.parallel.barotropic import ShardedBarotropicModel
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        shd = ShardedBarotropicModel(
+            grid, 15, mesh=mesh, dt=1800.0, damping_coefficient=1e-4,
+            dtype=jnp.float32,
+        )
+        z = jnp.full((32, 64), 5500.0, jnp.float32)
+        state = shd.from_z(z)
+        self._assert_all_highest(
+            lambda vs, vp: shd.run_sharded(
+                state.replace(vrt_spec=vs, vrt_spec_prev=vp), 2
+            ).vrt_spec,
+            state.vrt_spec, state.vrt_spec_prev,
+            min_dots=4,
+        )

@@ -102,15 +102,33 @@ class TestTowerVsTorch:
 
 
 class TestConvLSTMVsTorch:
-    def test_convlstm_layer(self):
+    # Both gate semantics are pinned: 'hard_sigmoid' is the standalone-Keras
+    # default the reference model actually runs with (train.py:150-156
+    # passes only activation='tanh'); 'sigmoid' is the smooth variant.
+    @pytest.mark.parametrize("r_act", ["hard_sigmoid", "sigmoid"])
+    def test_convlstm_layer(self, r_act):
         specs = [
             ("ConvLSTM2D", (8, 3),
-             {"dilation": 2, "return_sequences": True, "activation": "tanh"}),
+             {"dilation": 2, "return_sequences": True, "activation": "tanh",
+              "recurrent_activation": r_act}),
         ]
         x = RNG.randn(2, 4, 3, 8, 16)
         out_jax, out_torch = _run_both(specs, x)
         assert out_jax.shape == (2, 4, 8, 8, 16)
         np.testing.assert_allclose(out_jax, out_torch, atol=1e-10)
+
+    def test_default_is_hard_sigmoid(self):
+        """The framework's default gate matches the reference's Keras
+        default -- and the Keras definition (clip(0.2x+0.5)), not torch/jax's
+        relu6 variant."""
+        from dlwp_tpu.models.layers import ConvLSTM2D, get_activation
+
+        assert ConvLSTM2D(features=2).recurrent_activation == "hard_sigmoid"
+        x = np.linspace(-4, 4, 33)
+        np.testing.assert_allclose(
+            np.asarray(get_activation("hard_sigmoid")(x)),
+            np.clip(0.2 * x + 0.5, 0, 1), atol=1e-12,
+        )
 
     def test_flagship_convlstm_model(self):
         """The full flagship (ConvLSTM front end + fused tower + reshapes,
@@ -185,10 +203,12 @@ class TestGradientsVsTorch:
         x = RNG.randn(2, 6, 8, 16)
         self._compare(*self._grads_both(_tower_specs(4), x))
 
-    def test_convlstm_grads(self):
+    @pytest.mark.parametrize("r_act", ["hard_sigmoid", "sigmoid"])
+    def test_convlstm_grads(self, r_act):
         specs = [
             ("ConvLSTM2D", (6, 3),
-             {"dilation": 2, "return_sequences": True, "activation": "tanh"}),
+             {"dilation": 2, "return_sequences": True, "activation": "tanh",
+              "recurrent_activation": r_act}),
         ]
         x = RNG.randn(2, 3, 4, 8, 16)
         self._compare(*self._grads_both(specs, x))
