@@ -4,6 +4,7 @@ from dlwp_tpu.data.dataset import PredictorDataset
 from dlwp_tpu.data.preprocessing import Preprocessor
 from dlwp_tpu.data.sampler import SeriesSampler, SamplesSampler, device_prefetch
 from dlwp_tpu.data.device_sampler import DeviceSeriesSampler
+from dlwp_tpu.data.barotropic_archive import BarotropicArchiveSource
 
 __all__ = [
     "PredictorDataset",
@@ -11,5 +12,6 @@ __all__ = [
     "SeriesSampler",
     "SamplesSampler",
     "DeviceSeriesSampler",
+    "BarotropicArchiveSource",
     "device_prefetch",
 ]

@@ -1,0 +1,202 @@
+"""Barotropic-generated training archives: chaotic dynamics as a DataSource.
+
+The reference's correctness criterion for a trained model is *forecast
+skill* on real atmospheric dynamics -- its validation workflow scores
+rollout RMSE against persistence/climatology baselines on reanalysis
+archives (reference ``examples/validate.py:306-325``). This environment
+cannot download ERA5/CFS, but the repo owns the reference's own physics
+baseline (the spectral barotropic core, ``examples/run_barotropic.py``):
+this module turns it into a data *source* -- a multi-segment,
+perturbed-restart Z500 (+relative vorticity) series of genuinely chaotic
+dynamics that a CNN cannot memorize, exposed through the same
+``DataSource`` protocol the :class:`~dlwp_tpu.data.preprocessing.
+Preprocessor` consumes.
+
+Design notes:
+
+- **Perturbed restarts.** Unforced barotropic flow slowly condenses into
+  large-scale/zonal patterns (2-D inverse cascade), so one multi-year run
+  drifts away from weather-like variability. The archive is therefore K
+  independent ``segment_days``-long trajectories from perturbed initial
+  states (a climatological zonal jet + random planetary-wave noise with an
+  n^-1.5 spectral slope), integrated as ONE batched ensemble scan (the
+  TPU-native formulation: members fill the MXU, ~25x single-member
+  throughput, BASELINE.md).
+- **Boundary markers.** Consecutive segments are different trajectories;
+  a sample window spanning a restart would pair inputs and targets from
+  unrelated states. One all-NaN marker row is inserted between segments:
+  the existing NaN-window machinery (``SeriesSampler.generate``'s joint
+  input/target NaN removal, reference generators.py:563-565, and the
+  NaN-aware streaming scaler statistics) then drops exactly the
+  contaminated windows and nothing else.
+- **Two channels.** ``HGT/500`` (the prognostic height) and ``VRT/500``
+  (relative vorticity) stand in for the reference's HGT+THICK pair
+  (reference train.py:49-52) so the canonical two-variable architecture
+  shapes carry over; both are physically consistent diagnostics of the
+  same trajectory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dlwp_tpu.grid.latlon import LatLonGrid
+
+
+class BarotropicArchiveSource:
+    """DataSource serving a perturbed-restart barotropic Z500/VRT archive.
+
+    Args:
+        n_samples: total rows served (including the NaN marker rows).
+        nlat, nlon: regular grid size (reference 2.5-degree: 73 x 144).
+        truncation: spectral truncation (reference T72 at this grid).
+        dt: model time step [s] (reference run_barotropic.py: 1800).
+        snapshot_hours: archive cadence (reference predictor files: 6 h).
+        segment_days: trajectory length per restart segment.
+        spinup_days: integration discarded after each restart so the
+            archived flow is dynamically adjusted.
+        damping_coefficient: del-8 hyperdiffusion (reference: 5e-6... read
+            run_barotropic.py:23-25; 2e-4 spins noise down harder for the
+            smaller CI grids).
+        wave_rms: target rms height of the random wave perturbation [m].
+        seed: base seed; segment k uses seed + k.
+        step_impl: 'xla' | 'pallas' (forwarded to the psi-form core).
+    """
+
+    def __init__(
+        self,
+        n_samples: int = 5888,
+        nlat: int = 73,
+        nlon: int = 144,
+        truncation: int = 72,
+        dt: float = 1800.0,
+        snapshot_hours: int = 6,
+        segment_days: int = 92,
+        spinup_days: float = 2.0,
+        damping_coefficient: float = 5e-6,
+        wave_rms: float = 120.0,
+        seed: int = 0,
+        start: str = "2000-01-01",
+        step_impl: str = "xla",
+        dtype=np.float32,
+    ):
+        self.nlat, self.nlon = int(nlat), int(nlon)
+        self.truncation = int(truncation)
+        self.dt = float(dt)
+        self.snapshot_hours = int(snapshot_hours)
+        self.segment_days = int(segment_days)
+        self.spinup_days = float(spinup_days)
+        self.damping_coefficient = float(damping_coefficient)
+        self.wave_rms = float(wave_rms)
+        self.seed = int(seed)
+        self.step_impl = step_impl
+        self.dtype = dtype
+        self._n = int(n_samples)
+        self.times = (
+            np.datetime64(start)
+            + np.arange(self._n) * np.timedelta64(self.snapshot_hours, "h")
+        ).astype("datetime64[ns]")
+        self.grid = LatLonGrid.regular(self.nlat, self.nlon)
+        self.lat = np.asarray(self.grid.lat)
+        self.lon = np.asarray(self.grid.lon)
+        self._fields: dict[str, np.ndarray] | None = None
+
+    # ------------------------------------------------------------ generation
+    @property
+    def per_segment(self) -> int:
+        return self.segment_days * 24 // self.snapshot_hours
+
+    @property
+    def n_segments(self) -> int:
+        # Each segment contributes per_segment rows + 1 NaN marker row
+        # (no marker after the last).
+        per = self.per_segment + 1
+        return max(1, -(-(self._n + 1) // per))
+
+    def _initial_z(self) -> np.ndarray:
+        """(K, H, W) perturbed initial height fields.
+
+        Climatological zonal jet (amplitude jittered per segment) plus a
+        random superposition of spherical harmonics with total wavenumber
+        4..T/2 and an n^-1.5 amplitude slope, normalized to ``wave_rms``.
+        """
+        import jax.numpy as jnp
+
+        from dlwp_tpu.spectral import SphericalHarmonics
+
+        K = self.n_segments
+        T = self.truncation
+        sh = SphericalHarmonics.build(self.grid, T, dtype=jnp.float32)
+        mask = np.asarray(sh.mask, dtype=np.float64)  # (m, n) triangular
+        m_idx = np.arange(T + 1)[:, None]
+        n_idx = np.arange(T + 1)[None, :]
+        band = (n_idx >= 4) & (n_idx <= max(8, T // 2)) & (m_idx >= 1)
+        amp = np.where(band, (1.0 + n_idx) ** -1.5, 0.0) * mask
+        lat = np.radians(self.lat)[:, None]
+        zs = []
+        for k in range(K):
+            rng = np.random.RandomState(self.seed + k)
+            jet = 5500.0 - (280.0 + 60.0 * rng.rand()) * np.sin(lat) ** 2
+            coef = amp * (rng.randn(T + 1, T + 1) + 1j * rng.randn(T + 1, T + 1))
+            wave = np.asarray(sh.synthesize(jnp.asarray(coef, jnp.complex64)))
+            rms = float(np.sqrt(np.mean(wave**2))) or 1.0
+            zs.append(jet + wave * (self.wave_rms / rms))
+        return np.stack(zs).astype(np.float32)
+
+    def _generate(self) -> dict[str, np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        from dlwp_tpu.barotropic import BarotropicModelPsi
+
+        model = BarotropicModelPsi(
+            self.grid,
+            self.truncation,
+            dt=self.dt,
+            damping_coefficient=self.damping_coefficient,
+            dtype=jnp.float32,
+            step_impl=self.step_impl,
+        )
+        state = model.from_z(jnp.asarray(self._initial_z()))
+        spinup = int(round(self.spinup_days * 86400.0 / self.dt))
+        if spinup:
+            state = model.run(state, spinup)
+        every = int(round(self.snapshot_hours * 3600.0 / self.dt))
+        n_snap = self.per_segment
+
+        @jax.jit
+        def snapshots(s):
+            def outer(st, _):
+                st = model._advance(st, every)
+                return st, (model.z_grid(st), model.vrt_grid(st))
+
+            _, (zs, vs) = jax.lax.scan(outer, s, None, length=n_snap)
+            return zs, vs
+
+        zs, vs = snapshots(state)  # (n_snap, K, H, W) each
+        zs = np.asarray(zs, dtype=self.dtype)
+        vs = np.asarray(vs, dtype=self.dtype)
+        out = {}
+        H, W = self.nlat, self.nlon
+        for name, arr in (("HGT", zs), ("VRT", vs)):
+            rows = np.full((self._n, H, W), np.nan, dtype=self.dtype)
+            pos = 0
+            for k in range(self.n_segments):
+                if pos >= self._n:
+                    break
+                take = min(n_snap, self._n - pos)
+                rows[pos : pos + take] = arr[:take, k]
+                pos += take + 1  # skip one row: the NaN boundary marker
+            out[name] = rows
+        return out
+
+    # -------------------------------------------------------------- protocol
+    def field(self, variable: str, level) -> np.ndarray:
+        if self._fields is None:
+            self._fields = self._generate()
+        try:
+            return self._fields[variable]
+        except KeyError:
+            raise KeyError(
+                f"BarotropicArchiveSource serves HGT/VRT, not {variable!r}"
+            ) from None

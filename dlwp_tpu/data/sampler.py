@@ -206,9 +206,15 @@ class SeriesSampler:
         ]
         return np.stack(taken, axis=1)
 
-    def generate(self, samples=(), scale_and_impute: bool = True):
+    def generate(self, samples=(), scale_and_impute: bool = True,
+                 return_indices: bool = False):
         """Assemble (inputs, targets) for explicit sample indices (all
         samples if empty) -- reference ``generate`` (generators.py:529-605).
+
+        With ``return_indices`` the sample indices that survived NaN-window
+        removal are returned as a third element, so callers that align
+        per-sample metadata (e.g. TimeSeriesEstimator's init times) stay
+        consistent when boundary-marked archives drop windows.
         """
         samples = (
             np.arange(self._n_sample)
@@ -280,6 +286,8 @@ class SeriesSampler:
             y = np.stack(targets, axis=1)  # (B, S, ...)
         else:
             y = targets[0]
+        if return_indices:
+            return p, y, samples
         return p, y
 
     def __getitem__(self, index: int):

@@ -113,12 +113,17 @@ class TimeSeriesEstimator:
         samples = (
             np.arange(s._n_sample) if len(samples) == 0 else np.asarray(samples)
         )
-        p, _ = s.generate(samples, scale_and_impute=True)
+        # NaN-window removal may drop samples (e.g. restart-boundary
+        # markers in barotropic archives); keep init times aligned with
+        # the surviving windows.
+        p, _, kept = s.generate(
+            samples, scale_and_impute=True, return_indices=True
+        )
         B = p.shape[0]
         H, W = self._lat.shape[0], self._lon.shape[0]
         C_in = len(self._input_names)
         x0 = jnp.asarray(p).reshape(B, self._in_ts, C_in, H, W)
-        init_times = s.sample_times(samples)
+        init_times = s.sample_times(kept)
         init_days = jnp.asarray(day_of_year(init_times))
         mean_state = jnp.asarray(np.asarray(x0).mean(axis=(0, 1)))
         return x0, init_days, mean_state, init_times

@@ -62,18 +62,26 @@ class ShardedSphericalHarmonics:
 
     # ------------------------------------------------------- local building
     def local_fourier(self, x_local: jax.Array) -> jax.Array:
-        """Local grid block -> (.., m_all, j_local) one-sided Fourier."""
-        F = jnp.fft.rfft(x_local, axis=-1) / self.sh.grid.nlon
-        F = F[..., : self.sh.truncation + 1]
-        return jnp.swapaxes(F, -1, -2)
+        """Local grid block -> (.., m_all, j_local) one-sided Fourier.
+
+        Delegates to the engine's longitude stage: the FFT (and the
+        ``fourier='matmul'`` DFT-matrix alternative) contract over the
+        unsharded longitude axis, so they apply to any latitude-band
+        block unchanged."""
+        return self.sh._fourier(x_local.astype(self.sh.dtype))
 
     def local_inv_fourier(self, Fm_local: jax.Array) -> jax.Array:
-        F = jnp.swapaxes(Fm_local, -1, -2)
-        nlon = self.sh.grid.nlon
-        nfreq = nlon // 2 + 1
-        pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]
-        F = jnp.pad(F, pad)
-        return jnp.fft.irfft(F * nlon, n=nlon, axis=-1)
+        return self.sh._inv_fourier(Fm_local)
+
+    def _fold_args(self, name: str):
+        """This shard's m-band slice of a packed hemisphere-parity table."""
+        Tsym, Tanti, p = self.sh.fold_tabs[name]
+        tabs = (
+            _mslice(Tsym, self.axis, self.m_per),
+            _mslice(Tanti, self.axis, self.m_per),
+            p,
+        )
+        return tabs, _mslice(self.sh.even_m, self.axis, self.m_per)
 
     def _transpose_to_spec(self, F: jax.Array) -> jax.Array:
         """(.., m_all, j_local) -> (.., m_local, j_all) all-to-all."""
@@ -90,8 +98,14 @@ class ShardedSphericalHarmonics:
         )
 
     def local_analyze(self, x_local: jax.Array) -> jax.Array:
-        F = self.local_fourier(x_local.astype(self.sh.dtype))
+        F = self.local_fourier(x_local)
         F = self._transpose_to_spec(F)  # (.., m_local, j_all)
+        # The Legendre stage sees all J rows but only this shard's m band,
+        # so the engine's folded (hemisphere-parity) contraction applies
+        # with m-sliced packed tables.
+        if self.sh.fold:
+            tabs, em = self._fold_args("A")
+            return self.sh._legendre_ana_folded("A", F, tabs=tabs, even_m=em)
         A = _mslice(self.sh.A, self.axis, self.m_per)
         # precision must match the single-device engine: TPU lowers fp32
         # matmuls to bf16 MXU passes at DEFAULT precision (costs ~4 digits;
@@ -104,50 +118,68 @@ class ShardedSphericalHarmonics:
         )
 
     def local_synthesize(self, spec_local: jax.Array) -> jax.Array:
-        Ptab = _mslice(self.sh.P, self.axis, self.m_per)
-        F = jnp.einsum(
-            "mjn,...mn->...mj", Ptab, spec_local.astype(self.sh.cdtype),
+        if self.sh.fold:
+            tabs, em = self._fold_args("P")
+            F = self.sh._legendre_syn_folded(
+                "P", spec_local.astype(self.sh.cdtype), tabs=tabs, even_m=em
+            )
+        else:
+            Ptab = _mslice(self.sh.P, self.axis, self.m_per)
+            F = jnp.einsum(
+                "mjn,...mn->...mj", Ptab, spec_local.astype(self.sh.cdtype),
+                preferred_element_type=self.sh.cdtype,
+                precision=self.sh.precision,
+            )
+        F = self._transpose_to_grid(F)  # (.., m_all, j_local)
+        return self.local_inv_fourier(F)
+
+    def _syn(self, name: str, spec: jax.Array) -> jax.Array:
+        """m-band Legendre synthesis through table ``name`` (dense or
+        folded, matching the engine's configuration)."""
+        if self.sh.fold:
+            tabs, em = self._fold_args(name)
+            return self.sh._legendre_syn_folded(
+                name, spec, tabs=tabs, even_m=em
+            )
+        tab = _mslice(getattr(self.sh, name), self.axis, self.m_per)
+        return jnp.einsum(
+            "mjn,...mn->...mj", tab, spec,
             preferred_element_type=self.sh.cdtype,
             precision=self.sh.precision,
         )
-        F = self._transpose_to_grid(F)  # (.., m_all, j_local)
-        return self.local_inv_fourier(F)
+
+    def _ana(self, name: str, Fm: jax.Array) -> jax.Array:
+        if self.sh.fold:
+            tabs, em = self._fold_args(name)
+            return self.sh._legendre_ana_folded(
+                name, Fm, tabs=tabs, even_m=em
+            )
+        tab = _mslice(getattr(self.sh, name), self.axis, self.m_per)
+        return jnp.einsum(
+            "mnj,...mj->...mn", tab, Fm,
+            preferred_element_type=self.sh.cdtype,
+            precision=self.sh.precision,
+        )
 
     def local_uv_from_vrtdiv(self, vrt_local, div_local):
         inv = _mslice(self.sh.inv_laplacian_eig, self.axis, self.m_per)
         psi = (vrt_local * inv).astype(self.sh.cdtype)
         chi = (div_local * inv).astype(self.sh.cdtype)
         a = self.sh.grid.radius
-        G = _mslice(self.sh.G, self.axis, self.m_per)
-        H = _mslice(self.sh.H, self.axis, self.m_per)
         i0 = lax.axis_index(self.axis) * self.m_per
         m_vals = i0 + jnp.arange(self.m_per, dtype=self.sh.dtype)
         im = (1j * m_vals / a).astype(self.sh.cdtype)
-        syn = lambda tab, s: jnp.einsum(
-            "mjn,...mn->...mj", tab, s,
-            preferred_element_type=self.sh.cdtype,
-            precision=self.sh.precision,
-        )
-        u_m = -syn(H, psi) / a + im[:, None] * syn(G, chi)
-        v_m = im[:, None] * syn(G, psi) + syn(H, chi) / a
+        u_m = -self._syn("H", psi) / a + im[:, None] * self._syn("G", chi)
+        v_m = im[:, None] * self._syn("G", psi) + self._syn("H", chi) / a
         u = self.local_inv_fourier(self._transpose_to_grid(u_m))
         v = self.local_inv_fourier(self._transpose_to_grid(v_m))
         return u, v
 
     def local_vrtdiv_from_uv(self, u_local, v_local):
-        u_m = self._transpose_to_spec(
-            self.local_fourier(u_local.astype(self.sh.dtype))
-        )
-        v_m = self._transpose_to_spec(
-            self.local_fourier(v_local.astype(self.sh.dtype))
-        )
-        ana = lambda tab, F: jnp.einsum(
-            "mnj,...mj->...mn", _mslice(tab, self.axis, self.m_per), F,
-            preferred_element_type=self.sh.cdtype,
-            precision=self.sh.precision,
-        )
-        psi = ana(self.sh.AuPsi, u_m) + 1j * ana(self.sh.AvPsi, v_m)
-        chi = 1j * ana(self.sh.AuChi, u_m) + ana(self.sh.AvChi, v_m)
+        u_m = self._transpose_to_spec(self.local_fourier(u_local))
+        v_m = self._transpose_to_spec(self.local_fourier(v_local))
+        psi = self._ana("AuPsi", u_m) + 1j * self._ana("AvPsi", v_m)
+        chi = 1j * self._ana("AuChi", u_m) + self._ana("AvChi", v_m)
         lap = _mslice(self.sh.laplacian_eig, self.axis, self.m_per)
         return psi * lap, chi * lap
 

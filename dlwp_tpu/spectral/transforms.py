@@ -459,19 +459,26 @@ class SphericalHarmonics:
         """(M, 1) bool: does the SYMMETRIC class occupy even-n slots?"""
         return self.even_m if p == 0 else ~self.even_m
 
-    def _legendre_syn_folded(self, name: str, spec: jax.Array) -> jax.Array:
+    def _legendre_syn_folded(self, name: str, spec: jax.Array,
+                             tabs=None, even_m=None) -> jax.Array:
         """Folded synthesis through packed table ``name``:
-        (..., m, n) complex -> (..., m, J) complex modes."""
+        (..., m, n) complex -> (..., m, J) complex modes.
+
+        ``tabs``/``even_m`` override the full-m table entry with an m-band
+        slice (the sharded engine's per-device Legendre stage sees all J
+        but only its local wavenumbers).
+        """
         N = self.truncation + 1
         K = (N + 1) // 2
-        Tsym, Tanti, p = self.fold_tabs[name]
+        Tsym, Tanti, p = self.fold_tabs[name] if tabs is None else tabs
+        em = self.even_m if even_m is None else even_m
         ri = jnp.stack([spec.real, spec.imag]).astype(self.dtype)
         xe = ri[..., 0::2]  # n even, width K
         xo = ri[..., 1::2]  # n odd, width N - K
         if xo.shape[-1] < K:
             pad = [(0, 0)] * (xo.ndim - 1) + [(0, K - xo.shape[-1])]
             xo = jnp.pad(xo, pad)
-        sel = self._sym_selector(p)
+        sel = em if p == 0 else ~em
         xs = jnp.where(sel, xe, xo)
         xa = jnp.where(sel, xo, xe)
         e = jnp.einsum(
@@ -485,12 +492,15 @@ class SphericalHarmonics:
         out = self._unfold_rows(e, o)
         return jax.lax.complex(out[0], out[1])
 
-    def _legendre_ana_folded(self, name: str, Fm: jax.Array) -> jax.Array:
+    def _legendre_ana_folded(self, name: str, Fm: jax.Array,
+                             tabs=None, even_m=None) -> jax.Array:
         """Folded analysis through packed table ``name``:
-        (..., m, J) modes -> (..., m, n) complex."""
+        (..., m, J) modes -> (..., m, n) complex. ``tabs``/``even_m`` as in
+        :meth:`_legendre_syn_folded`."""
         N = self.truncation + 1
         K = (N + 1) // 2
-        Tsym, Tanti, p = self.fold_tabs[name]
+        Tsym, Tanti, p = self.fold_tabs[name] if tabs is None else tabs
+        em = self.even_m if even_m is None else even_m
         ri = jnp.stack([Fm.real, Fm.imag]).astype(self.dtype)
         Fs, Fa = self._fold_rows(ri)
         xs = jnp.einsum(
@@ -502,7 +512,7 @@ class SphericalHarmonics:
             preferred_element_type=self.dtype, precision=self.precision,
         )
         # Interleave the parity classes back into dense n.
-        sel = self._sym_selector(p)
+        sel = em if p == 0 else ~em
         evens = jnp.where(sel, xs, xa)            # n = 0, 2, ...
         odds = jnp.where(sel, xa, xs)[..., : N - K]  # n = 1, 3, ...
         out = jnp.zeros(xs.shape[:-1] + (N,), dtype=self.dtype)

@@ -344,14 +344,31 @@ class Trainer:
         )
         rng = np.random.RandomState(cfg.seed)
 
+        # A device-resident sampler (on-device gather) gets the whole-epoch
+        # jitted-scan driver when the per-batch-dispatch-only features are
+        # not requested.
+        if (
+            generator is not None
+            and hasattr(generator, "_gather_impl")
+            and checkpoint_dir is None
+            and not any(hasattr(cb, "on_batch") for cb in callbacks or [])
+        ):
+            return self.fit_device(
+                generator, epochs=epochs, verbose=verbose,
+                callbacks=callbacks, validation_data=validation_data,
+            )
+
         if self.params is None:
             if generator is not None:
                 x0, _ = generator[0] if hasattr(generator, "__getitem__") else next(iter(generator))
             else:
                 x0 = x[:1]
             # Init from a single (unsharded) sample: batch size 1 cannot be
-            # sharded over the data axis.
-            self.init(jnp.asarray(np.asarray(x0)[:1]))
+            # sharded over the data axis. Device-resident batches stay on
+            # device.
+            if not isinstance(x0, jax.Array):
+                x0 = jnp.asarray(np.asarray(x0))
+            self.init(x0[:1])
 
         start_epoch = 0
         if checkpoint_dir and resume:
@@ -401,8 +418,16 @@ class Trainer:
                                 stacklevel=2,
                             )
                         continue
-                xb = self._device_put(np.asarray(xb))
-                yb = self._device_put_target(np.asarray(yb))
+                # Batches that are already jax Arrays (e.g. the on-device
+                # gathers of DeviceSeriesSampler) must NOT round-trip
+                # through the host: device_put on a jax Array is an
+                # on-device reshard (or a no-op when the layout matches).
+                if not isinstance(xb, jax.Array):
+                    xb = np.asarray(xb)
+                if not isinstance(yb, jax.Array):
+                    yb = np.asarray(yb)
+                xb = self._device_put(xb)
+                yb = self._device_put_target(yb)
                 self.params, self.opt_state, m = self._jit_train_step(
                     self.params, self.opt_state, xb, yb
                 )
@@ -413,7 +438,7 @@ class Trainer:
                     if hasattr(cb, "on_batch"):
                         cb.on_batch(float(m["loss"]))
             metrics = {
-                k: float(np.mean([np.asarray(v) for v in vs]))
+                k: float(np.mean(jax.device_get(vs)))
                 for k, vs in train_metrics.items()
             }
             if not np.isfinite(metrics.get("loss", 0.0)):
@@ -463,6 +488,116 @@ class Trainer:
                 break
         return history
 
+    def fit_device(
+        self,
+        sampler,
+        epochs: int | None = None,
+        verbose: bool = True,
+        callbacks: list | None = None,
+        validation_data=None,
+    ) -> History:
+        """Fully device-resident epoch driver (SURVEY.md section 3.1's
+        endgame: "a jit'd scan over device-resident sharded arrays").
+
+        ``sampler`` is a :class:`~dlwp_tpu.data.device_sampler.
+        DeviceSeriesSampler`: the series lives in HBM and each epoch
+        compiles to ONE ``lax.scan`` whose body gathers a batch on device
+        and applies the train step. The only per-epoch host<->device
+        traffic is the shuffled int32 index upload and the scalar metric
+        download -- both explicit transfers, so the epoch runs clean under
+        ``jax.transfer_guard('disallow')`` (asserted in tests). Contrast
+        :meth:`fit`, which dispatches one train step per batch from Python
+        (it also accepts device-resident batches without host copies, but
+        pays per-batch dispatch).
+        """
+        cfg = self.config
+        epochs = epochs or cfg.epochs
+        history = History()
+        stopper = (
+            EarlyStoppingMin(
+                cfg.monitor, cfg.min_epochs, cfg.patience,
+                cfg.restore_best_weights,
+            )
+            if cfg.early_stopping
+            else None
+        )
+        rng = np.random.RandomState(cfg.seed)
+        if self.params is None:
+            x0, _ = sampler[0]
+            self.init(x0[:1])
+        nb = len(sampler)
+        if nb < 1:
+            raise ValueError("sampler yields no full batches")
+        bsz = sampler._batch
+        n_used = nb * bsz  # drop_remainder, as in DeviceSeriesSampler
+        gather = sampler._gather_impl
+        train_step = self._train_step
+
+        if not hasattr(self, "_device_epoch_fns"):
+            self._device_epoch_fns = {}
+        epoch_fn = self._device_epoch_fns.get(id(sampler))
+        if epoch_fn is None:
+            def _epoch(params, opt_state, idx):
+                def body(carry, samples):
+                    p, o = carry
+                    xb, yb = gather(samples)
+                    p, o, m = train_step(p, o, xb, yb)
+                    return (p, o), m
+
+                (params, opt_state), ms = jax.lax.scan(
+                    body, (params, opt_state), idx
+                )
+                return params, opt_state, ms
+
+            epoch_fn = jax.jit(_epoch, donate_argnums=(0, 1))
+            self._device_epoch_fns[id(sampler)] = epoch_fn
+
+        base_idx = np.arange(sampler.sampler._n_sample, dtype=np.int32)
+        for epoch in range(epochs):
+            t0 = time.time()
+            idx = base_idx.copy()
+            if cfg.shuffle:
+                rng.shuffle(idx)
+            idx_dev = jax.device_put(idx[:n_used].reshape(nb, bsz))
+            self.params, self.opt_state, ms = epoch_fn(
+                self.params, self.opt_state, idx_dev
+            )
+            metrics = {
+                k: float(np.mean(v)) for k, v in jax.device_get(ms).items()
+            }
+            if not np.isfinite(metrics.get("loss", 0.0)):
+                print(f"non-finite loss at epoch {epoch + 1}; stopping")
+                if (
+                    stopper is not None
+                    and stopper.restore_best_weights
+                    and stopper.best_params is not None
+                ):
+                    self.params = stopper.best_params
+                history.append(epoch, metrics)
+                break
+            if validation_data is not None:
+                metrics.update(
+                    {f"val_{k}": v for k, v in self.evaluate(
+                        validation_data, batch_size=bsz
+                    ).items()}
+                )
+            metrics["time"] = time.time() - t0
+            history.append(epoch, metrics)
+            for cb in callbacks or []:
+                cb(epoch, metrics, self.params)
+            if verbose:
+                desc = " ".join(f"{k}={v:.6g}" for k, v in metrics.items())
+                print(f"epoch {epoch + 1}/{epochs}: {desc}")
+            if stopper is not None and stopper.update(
+                epoch, metrics, self.params
+            ):
+                if stopper.restore_best_weights and stopper.best_params is not None:
+                    self.params = stopper.best_params
+                if verbose:
+                    print(f"early stopping at epoch {epoch + 1}")
+                break
+        return history
+
     def evaluate(self, data, batch_size: int = 64) -> dict[str, float]:
         if isinstance(data, tuple):
             x, y = data
@@ -475,14 +610,20 @@ class Trainer:
             batches = iter(data)
         out: dict[str, list] = {}
         for xb, yb in batches:
+            if not isinstance(xb, jax.Array):
+                xb = np.asarray(xb)
+            if not isinstance(yb, jax.Array):
+                yb = np.asarray(yb)
             m = self._jit_eval_step(
                 self.params,
-                self._device_put(np.asarray(xb)),
-                self._device_put_target(np.asarray(yb)),
+                self._device_put(xb),
+                self._device_put_target(yb),
             )
             for k, v in m.items():
-                out.setdefault(k, []).append(np.asarray(v))
-        return {k: float(np.mean(v)) for k, v in out.items()}
+                out.setdefault(k, []).append(v)
+        return {
+            k: float(np.mean(jax.device_get(v))) for k, v in out.items()
+        }
 
     def predict(self, x, batch_size: int = 64) -> np.ndarray:
         if not hasattr(self, "_jit_apply"):

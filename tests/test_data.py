@@ -412,6 +412,85 @@ class TestDeviceSeriesSampler:
         hist = tr.fit(generator=dev, verbose=False)
         assert len(hist.epoch) == 2
 
+    def test_fit_device_no_host_transfer(self):
+        """The device-resident epoch driver performs ZERO implicit
+        host<->device transfers: after a first (compiling) epoch, further
+        epochs run clean under jax.transfer_guard('disallow') -- the only
+        traffic is the explicit index upload and metric download."""
+        import jax
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        ds = make_series(n=40)
+        dev = DeviceSeriesSampler(SeriesSampler(ds, batch_size=8))
+        model = build_sequential([("CyclicConv2D", (2, 3), {})])
+        tr = Trainer(model, TrainConfig(batch_size=8))
+        tr.fit_device(dev, epochs=1, verbose=False)  # init + compile
+        with jax.transfer_guard("disallow"):
+            hist = tr.fit_device(dev, epochs=2, verbose=False)
+        assert len(hist.epoch) == 2
+        assert np.isfinite(hist.history["loss"]).all()
+
+    def test_fit_dispatches_device_sampler_to_scan_driver(self):
+        """Trainer.fit(generator=DeviceSeriesSampler) routes to the jitted
+        whole-epoch driver, and the per-batch path (forced via a
+        batch-callback) no longer round-trips device batches through the
+        host."""
+        import jax
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+        from dlwp_tpu.train.callbacks import BatchHistory
+
+        ds = make_series(n=40)
+        dev = DeviceSeriesSampler(SeriesSampler(ds, batch_size=8))
+        model = build_sequential([("CyclicConv2D", (2, 3), {})])
+        tr = Trainer(model, TrainConfig(batch_size=8))
+        tr.fit(generator=dev, epochs=1, verbose=False)  # compile both paths
+        bh = BatchHistory()
+        tr.fit(generator=dev, epochs=1, verbose=False, callbacks=[bh])
+        with jax.transfer_guard("disallow"):
+            # scan-driver dispatch (no on_batch callback)
+            tr.fit(generator=dev, epochs=1, verbose=False)
+        # per-batch path: device batches stay on device (the callback's
+        # float(loss) is a scalar device_get, which IS a host transfer --
+        # so guard only host-to-device, the direction of the old
+        # np.asarray round trip's second leg).
+        with jax.transfer_guard_device_to_device("disallow"), \
+             jax.transfer_guard_host_to_device("disallow"):
+            tr.fit(generator=dev, epochs=1, verbose=False, callbacks=[bh])
+
+    def test_fit_device_matches_per_batch_path(self):
+        """Same data, same seed, shuffle off: the jitted-scan epoch driver
+        and the per-batch fit produce the same loss trajectory."""
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        ds = make_series(n=40)
+
+        def train(use_scan):
+            dev = DeviceSeriesSampler(
+                SeriesSampler(ds, batch_size=8, shuffle=False)
+            )
+            model = build_sequential([("CyclicConv2D", (2, 3), {})])
+            tr = Trainer(model, TrainConfig(batch_size=8, shuffle=False,
+                                            seed=3))
+            if use_scan:
+                return tr.fit_device(dev, epochs=3, verbose=False)
+            # force the per-batch path via an on_batch callback
+            from dlwp_tpu.train.callbacks import BatchHistory
+
+            return tr.fit(generator=dev, epochs=3, verbose=False,
+                          callbacks=[BatchHistory()])
+
+        h_scan = train(True)
+        h_batch = train(False)
+        np.testing.assert_allclose(
+            h_scan.history["loss"], h_batch.history["loss"], rtol=1e-6
+        )
+
 
 class TestDenseSampler:
     def test_dense_flattening(self):

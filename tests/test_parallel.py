@@ -700,6 +700,115 @@ class TestProfilingUtils:
         assert t.best >= 0.0 and len(t.times) == 1
 
 
+class TestShardedSpectralOptions:
+    """fourier='matmul' and fold=True under the sharded engine must match
+    the single-device engine exactly (f64 CPU: both reduce to the same
+    arithmetic reassociated)."""
+
+    @pytest.mark.parametrize(
+        "fourier,fold",
+        [("matmul", False), ("fft", True), ("matmul", True)],
+    )
+    def test_scalar_roundtrip_matches(self, fourier, fold):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(
+            grid, 15, dtype=jnp.float64, fourier=fourier, fold=fold
+        )
+        ssh = ShardedSphericalHarmonics(sh, mesh)
+        f = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64))
+        expect_spec = sh.analyze(f)
+        fs = jax.device_put(f, NamedSharding(mesh, P(None, "lat", None)))
+        got_spec = ssh.analyze(fs)
+        np.testing.assert_allclose(
+            np.asarray(got_spec), np.asarray(expect_spec), atol=1e-12
+        )
+        expect_g = sh.synthesize(expect_spec)
+        got_g = ssh.synthesize(
+            jax.device_put(
+                expect_spec, NamedSharding(mesh, P(None, "lat", None))
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(expect_g), atol=1e-12
+        )
+
+    @pytest.mark.parametrize(
+        "fourier,fold",
+        [("matmul", False), ("fft", True), ("matmul", True)],
+    )
+    def test_vector_transforms_match(self, fourier, fold):
+        require_devices(8)
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        sh = SphericalHarmonics.build(
+            grid, 15, dtype=jnp.float64, fourier=fourier, fold=fold
+        )
+        ssh = ShardedSphericalHarmonics(sh, mesh)
+        key1, key2 = jax.random.split(jax.random.PRNGKey(3))
+        T = sh.truncation
+        vrt = (
+            jax.random.normal(key1, (T + 1, T + 1))
+            + 1j * jax.random.normal(key2, (T + 1, T + 1))
+        ) * sh.mask
+        vrt = vrt.at[0].set(vrt[0].real * sh.mask[0]).at[:, 0].set(0)
+        div = 0.3 * vrt
+        eu, ev = sh.uv_from_vrtdiv(vrt, div)
+        sspec = NamedSharding(mesh, P("lat", None))
+        su, sv = ssh.uv_from_vrtdiv(
+            jax.device_put(vrt, sspec), jax.device_put(div, sspec)
+        )
+        np.testing.assert_allclose(np.asarray(su), np.asarray(eu), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(ev), atol=1e-11)
+        evr, edv = sh.vrtdiv_from_uv(eu, ev)
+        gspec = NamedSharding(mesh, P(None))
+        svr, sdv = ssh.vrtdiv_from_uv(
+            jax.device_put(eu, NamedSharding(mesh, P("lat", None))),
+            jax.device_put(ev, NamedSharding(mesh, P("lat", None))),
+        )
+        np.testing.assert_allclose(
+            np.asarray(svr), np.asarray(evr), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(sdv), np.asarray(edv), atol=1e-11
+        )
+
+    def test_sharded_barotropic_matmul_fourier(self):
+        """The domain-decomposed barotropic step inherits fourier='matmul'
+        through the delegated longitude stage."""
+        require_devices(8)
+        from dlwp_tpu.barotropic import BarotropicModel
+        from dlwp_tpu.parallel.barotropic import ShardedBarotropicModel
+
+        mesh = build_mesh(MeshConfig(data=2, lat=4))
+        grid = LatLonGrid.gaussian(32, 64)
+        kwargs = dict(dt=1800.0, damping_coefficient=1e-4,
+                      dtype=jnp.float64, fourier="matmul")
+        ref = BarotropicModel(grid, 15, **kwargs)
+        shd = ShardedBarotropicModel(grid, 15, mesh=mesh, **kwargs)
+        lat = np.radians(grid.lat)[:, None]
+        lon = np.radians(grid.lon)[None, :]
+        z = (5500.0 - 300.0 * np.sin(lat) ** 2
+             + 60.0 * np.cos(lat) ** 3 * np.cos(3 * lon))
+        state = ref.from_z(jnp.asarray(np.broadcast_to(z, (32, 64))))
+        expect = ref.run(state, 10)
+        got = shd.run_sharded(
+            state.replace(
+                vrt_spec=jax.device_put(state.vrt_spec, shd.spec_sharding()),
+                vrt_spec_prev=jax.device_put(
+                    state.vrt_spec_prev, shd.spec_sharding()
+                ),
+            ),
+            10,
+        )
+        scale = np.abs(np.asarray(expect.vrt_spec)).max()
+        np.testing.assert_allclose(
+            np.asarray(got.vrt_spec), np.asarray(expect.vrt_spec),
+            atol=1e-11 * scale,
+        )
+
+
 def _subjaxprs(v):
     """Yield any jaxprs hiding in an eqn param value (ClosedJaxpr, Jaxpr,
     or containers thereof)."""
