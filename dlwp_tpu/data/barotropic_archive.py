@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dlwp_tpu.grid.latlon import LatLonGrid
+from dlwp_tpu.grid.latlon import GRAVITY, LatLonGrid, OMEGA
 
 
 class BarotropicArchiveSource:
@@ -75,6 +75,10 @@ class BarotropicArchiveSource:
         spinup_days: float = 2.0,
         damping_coefficient: float = 5e-6,
         wave_rms: float = 120.0,
+        wave_n_max: int | None = None,
+        superrotation_ms: float = 15.0,
+        jet_amp: float = 120.0,
+        form: str = "vrt",
         seed: int = 0,
         start: str = "2000-01-01",
         step_impl: str = "xla",
@@ -88,6 +92,24 @@ class BarotropicArchiveSource:
         self.spinup_days = float(spinup_days)
         self.damping_coefficient = float(damping_coefficient)
         self.wave_rms = float(wave_rms)
+        self.superrotation_ms = float(superrotation_ms)
+        self.jet_amp = float(jet_amp)
+        # Cap the wave band: with a -1.5 slope, modes near a high truncation
+        # carry enough vorticity (winds ~ n z_n) to destabilize the
+        # integration; n <= ~20 keeps planetary/synoptic scales only.
+        self.wave_n_max = (
+            int(wave_n_max)
+            if wave_n_max is not None
+            else min(20, max(8, self.truncation // 2))
+        )
+        if form not in ("vrt", "psi"):
+            raise ValueError("form must be 'vrt' or 'psi'")
+        # 'vrt' (default): the vorticity-form core -- pure barotropic
+        # dynamics with no geostrophic f0 sign convention, so the
+        # antisymmetric solid-body component behaves as true rigid
+        # rotation in both hemispheres (the psi form's southern-hemisphere
+        # sign correction assumes real-atmosphere symmetric Z500).
+        self.form = form
         self.seed = int(seed)
         self.step_impl = step_impl
         self.dtype = dtype
@@ -116,10 +138,18 @@ class BarotropicArchiveSource:
     def _initial_z(self) -> np.ndarray:
         """(K, H, W) perturbed initial height fields.
 
-        Climatological zonal jet (amplitude jittered per segment) plus a
+        Base state = solid-body superrotation (``superrotation_ms`` is the
+        equatorial zonal wind; solid rotation is barotropically STABLE, so
+        the flow advects without feeding instability growth -- the lever
+        that keeps multi-week segments statistically bounded) + a mild
+        ``sin^2`` jet (amplitude jittered per segment to span regimes) + a
         random superposition of spherical harmonics with total wavenumber
         4..T/2 and an n^-1.5 amplitude slope, normalized to ``wave_rms``.
+        The advection makes persistence decay fast (waves sweep zonally at
+        ~``superrotation_ms``) while the dynamics stay deterministic and
+        learnable -- exactly the regime a forecast-skill test needs.
         """
+        import jax
         import jax.numpy as jnp
 
         from dlwp_tpu.spectral import SphericalHarmonics
@@ -127,18 +157,39 @@ class BarotropicArchiveSource:
         K = self.n_segments
         T = self.truncation
         sh = SphericalHarmonics.build(self.grid, T, dtype=jnp.float32)
+
+        # Complex arrays must never cross the host<->device boundary: the
+        # TPU tunnel runtime implements only real-dtype transfers (measured:
+        # complex64 device_put raises UNIMPLEMENTED). The random spectral
+        # coefficients therefore travel as real/imag float32 pairs and are
+        # combined on device inside the jitted synthesis.
+        @jax.jit
+        def synth_ri(re, im):
+            return sh.synthesize(jax.lax.complex(re, im))
         mask = np.asarray(sh.mask, dtype=np.float64)  # (m, n) triangular
         m_idx = np.arange(T + 1)[:, None]
         n_idx = np.arange(T + 1)[None, :]
-        band = (n_idx >= 4) & (n_idx <= max(8, T // 2)) & (m_idx >= 1)
+        band = (n_idx >= 4) & (n_idx <= self.wave_n_max) & (m_idx >= 1)
         amp = np.where(band, (1.0 + n_idx) ** -1.5, 0.0) * mask
         lat = np.radians(self.lat)[:, None]
+        # z amplitude giving an equatorial solid-body wind u0 under the
+        # psi-form convention psi = g z / f0 (u = (g A / (f0 a)) cos(lat)).
+        a_sb = (
+            self.superrotation_ms * 2 * OMEGA * self.grid.radius / GRAVITY
+        )
         zs = []
         for k in range(K):
             rng = np.random.RandomState(self.seed + k)
-            jet = 5500.0 - (280.0 + 60.0 * rng.rand()) * np.sin(lat) ** 2
+            jet = (
+                5500.0
+                - a_sb * np.sin(lat)
+                - self.jet_amp * (0.8 + 0.4 * rng.rand()) * np.sin(lat) ** 2
+            )
             coef = amp * (rng.randn(T + 1, T + 1) + 1j * rng.randn(T + 1, T + 1))
-            wave = np.asarray(sh.synthesize(jnp.asarray(coef, jnp.complex64)))
+            wave = np.asarray(synth_ri(
+                jnp.asarray(coef.real, jnp.float32),
+                jnp.asarray(coef.imag, jnp.float32),
+            ))
             rms = float(np.sqrt(np.mean(wave**2))) or 1.0
             zs.append(jet + wave * (self.wave_rms / rms))
         return np.stack(zs).astype(np.float32)
@@ -147,9 +198,10 @@ class BarotropicArchiveSource:
         import jax
         import jax.numpy as jnp
 
-        from dlwp_tpu.barotropic import BarotropicModelPsi
+        from dlwp_tpu.barotropic import BarotropicModel, BarotropicModelPsi
 
-        model = BarotropicModelPsi(
+        cls = BarotropicModel if self.form == "vrt" else BarotropicModelPsi
+        model = cls(
             self.grid,
             self.truncation,
             dt=self.dt,

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""ConvLSTM-front-end training workflow.
+"""ConvLSTM-front-end training workflow (the canonical configuration).
 
 The reference's canonical full architecture (examples/train.py:142-221):
 a convolutional LSTM over the input time steps feeding the
@@ -8,6 +8,14 @@ batch layout (B, T, C, H, W); the ConvLSTM applies spherical boundaries on
 both the input *and* recurrent convolutions and its per-step outputs are
 flattened into the tower's channels, exactly mirroring the reference's
 Reshape bridge (train.py:158).
+
+``--sequence k`` additionally trains k forecast iterations jointly with
+equal loss weights (the reference's functional multi-step training,
+train_functional.py:61,283-285, which also supports the recurrent
+front end, train_functional.py:207-217): the rollout is a lax.scan inside
+the loss with rematerialization. With an insolation input channel the
+splice persists the last known insolation (the in-graph recomputation per
+valid time is the *forecast*-time behavior, forecast/rollout.py).
 """
 
 from __future__ import annotations
@@ -41,12 +49,29 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--time-steps", type=int, default=2)
-    p.add_argument("--lstm-features", type=int, default=8)
+    p.add_argument("--lstm-features", type=int, default=None,
+                   help="default 4*(C+1) per the reference (train.py:149)")
+    p.add_argument("--sequence", type=int, default=1,
+                   help="jointly trained forecast iterations "
+                        "(train_functional.py:61)")
+    p.add_argument("--add-insolation", dest="add_insolation",
+                   action="store_true", default=True)
+    p.add_argument("--no-insolation", dest="add_insolation",
+                   action="store_false")
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--cosine-decay", action="store_true",
+                   help="cosine LR decay to 5%% over the run + grad clip")
+    p.add_argument("--validation-fraction", type=float, default=0.0,
+                   help="hold out the series tail for val_loss/early stop")
+    p.add_argument("--min-epochs", type=int, default=0)
+    p.add_argument("--patience", type=int, default=0)
+    p.add_argument("--loss", default="mse", choices=["mse", "lat_mse"])
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from dlwp_tpu.data import PredictorDataset, SeriesSampler
     from dlwp_tpu.models import DLWPNeuralNet
-    from dlwp_tpu.utils import save_model
+    from dlwp_tpu.utils import save_model, train_test_split_ind
 
     if args.predictor_file:
         data = PredictorDataset.from_file(args.predictor_file)
@@ -62,28 +87,84 @@ def main(argv=None):
         data.predictors = np.asarray(data.predictors)[..., 1:, :]
         data.lat = data.lat[1:]
 
+    n = data.predictors.shape[0]
+    if args.validation_fraction > 0:
+        n_val = int(n * args.validation_fraction)
+        tr_idx, val_idx = train_test_split_ind(n, n_val, method="last")
+        train_data = data.isel_sample(tr_idx)
+        val_data = data.isel_sample(val_idx)
+    else:
+        train_data, val_data = data, None
+
     dlwp = DLWPNeuralNet(
         is_convolutional=True, is_recurrent=True,
         time_dim=args.time_steps, scaler_type=None,
     )
-    sampler = SeriesSampler(
-        data, model=dlwp,
+    mk = lambda d, shuffle: SeriesSampler(
+        d, model=dlwp,
         input_time_steps=args.time_steps,
         output_time_steps=args.time_steps,
-        batch_size=args.batch_size, shuffle=True,
+        sequence=args.sequence if args.sequence > 1 else None,
+        add_insolation=args.add_insolation,
+        batch_size=args.batch_size, shuffle=shuffle, seed=args.seed,
     )
+    sampler = mk(train_data, True)
+    val_gen = mk(val_data, False) if val_data is not None else None
     # Recurrent layout: (B, T, C, H, W) in; targets keep the time axis too.
     T, C, H, W = sampler.convolution_shape
     out_t, out_c = sampler.output_convolution_shape[:2]
-    specs = convlstm_tower(T, C, out_t * out_c, args.lstm_features)
-    # Fix the Reshape bridge to concrete spatial dims.
-    specs[1] = ("Reshape", ((T * args.lstm_features, H, W),), None)
-    # Final reshape back to the (T, C, H, W) target layout.
+    lstm_features = args.lstm_features or 4 * C
+    specs = convlstm_tower(T, C, out_t * out_c, lstm_features)
+    # Fix the Reshape bridge (spec index 1, after the ConvLSTM) to
+    # concrete spatial dims, and reshape the tower output back to the
+    # (T, C, H, W) target layout.
+    specs[1] = ("Reshape", ((T * lstm_features, H, W),), None)
     specs.append(("Reshape", ((out_t, out_c, H, W),), None))
 
-    dlwp.build_model(specs, loss="mse", learning_rate=1e-3)
+    splice_fn = None
+    if args.sequence > 1 and args.add_insolation:
+        # Persist the insolation forcing channel when feeding predictions
+        # back inside the training rollout (extensions.py:236-240 semantics
+        # are applied exactly at forecast time; training uses the last
+        # known forcing).
+        def splice_fn(inp, pred, k):  # noqa: F811
+            import jax.numpy as jnp
+
+            return jnp.concatenate([pred, inp[:, :, out_c:]], axis=2)
+
+    if args.loss == "lat_mse":
+        from dlwp_tpu.ops.losses import latitude_weighted_loss, mse
+
+        loss = latitude_weighted_loss(mse, train_data.lat)
+    else:
+        loss = args.loss
+
+    if args.cosine_decay:
+        import optax
+
+        steps_total = max(1, len(sampler) * args.epochs)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(
+                optax.cosine_decay_schedule(
+                    args.learning_rate, steps_total, 0.05
+                )
+            ),
+        )
+    else:
+        optimizer = "adam"
+
+    dlwp.build_model(
+        specs, loss=loss, optimizer=optimizer,
+        learning_rate=args.learning_rate,
+        sequence_steps=args.sequence, splice_fn=splice_fn,
+        early_stopping=args.patience > 0, min_epochs=args.min_epochs,
+        patience=args.patience, seed=args.seed,
+    )
     t0 = time.time()
-    history = dlwp.fit_generator(sampler, epochs=args.epochs, verbose=True)
+    history = dlwp.fit_generator(
+        sampler, validation_data=val_gen, epochs=args.epochs, verbose=True
+    )
     print(f"Train time -- {time.time() - t0:.0f} seconds")
     save_model(dlwp, args.model_file, history=history)
     print(f"saved {args.model_file}")

@@ -32,6 +32,11 @@ def parse_args(argv=None):
     p.add_argument("--barotropic", action="store_true", default=True,
                    help="include the barotropic physics baseline")
     p.add_argument("--variable", default="HGT/500")
+    p.add_argument("--lat-range", default="20,70",
+                   help="verification latitude band 'south,north' "
+                        "(reference validate.py:89-93 scores 20-70N; "
+                        "'all' scores every row incl. poles, where "
+                        "cos-weighted training assigns ~zero weight)")
     p.add_argument("--add-insolation", default="auto",
                    choices=["auto", "on", "off"],
                    help="insolation input channel for the validation "
@@ -129,10 +134,26 @@ def main(argv=None):
     ver = ver[:, :, out_idx]
 
     v = forecast.varlev.index(args.variable) if args.variable in forecast.varlev else 0
-    err_axis = tuple(range(1, ver[:, :, v].ndim))
+    # Verification latitude band (reference validate.py:89-93): scoring is
+    # restricted to rows inside it -- pole rows carry ~zero cos(lat)
+    # training weight and the spectral height inversion is ill-conditioned
+    # there, so global-mean RMSE would be dominated by rows no method is
+    # asked to predict.
+    if args.lat_range == "all":
+        lat_sel = slice(None)
+    else:
+        lo, hi = (float(s) for s in args.lat_range.split(","))
+        lat_sel = np.where(
+            (np.asarray(data.lat) >= lo) & (np.asarray(data.lat) <= hi)
+        )[0]
+        if len(lat_sel) == 0:
+            raise SystemExit(f"no latitude rows in band {args.lat_range}")
+    fc_v = forecast.values[:, :, v][..., lat_sel, :]
+    ver_v = ver[:, :, v][..., lat_sel, :]
+    err_axis = tuple(range(1, ver_v.ndim))
     results = {"f_hour": f_hour}
     results["forecast_rmse"] = verify.forecast_error(
-        forecast.values[:, :, v], ver[:, :, v], method="rmse", axis=err_axis,
+        fc_v, ver_v, method="rmse", axis=err_axis,
     )
     # Persistence baseline: the initial state held fixed, scored against
     # the SAME lead-aligned verification as the forecast (the reference
@@ -144,16 +165,17 @@ def main(argv=None):
         for t in forecast.times
     ]
     init = np.asarray(val_data.predictors)[init_idx][:, out_idx][:, v]
+    init = init[..., lat_sel, :]
     results["persistence_rmse"] = verify.forecast_error(
-        np.repeat(init[None], steps_out, axis=0), ver[:, :, v],
+        np.repeat(init[None], steps_out, axis=0), ver_v,
         method="rmse", axis=err_axis,
     )
     # Constant-climatology baseline on the same verification axis.
-    series = np.asarray(val_data.predictors)[:, out_idx][:, v]
+    series = np.asarray(val_data.predictors)[:, out_idx][:, v][..., lat_sel, :]
     climo = np.nanmean(series, axis=0)
     results["climatology_rmse"] = verify.forecast_error(
-        np.broadcast_to(climo, (steps_out,) + ver[:, :, v].shape[1:]),
-        ver[:, :, v], method="rmse", axis=err_axis,
+        np.broadcast_to(climo, (steps_out,) + ver_v.shape[1:]),
+        ver_v, method="rmse", axis=err_axis,
     )
     # Month-aware climatology baseline (the reference's actual workflow,
     # validate.py:319-325): climatology from the full archive, scored over
@@ -163,6 +185,7 @@ def main(argv=None):
     span_days = (full_times.max() - full_times.min()) / np.timedelta64(1, "D")
     if span_days >= 360.0:
         full_series = np.asarray(data.predictors)[:, out_idx][:, v]
+        full_series = full_series[..., lat_sel, :]
         val_mask = np.isin(full_times,
                            np.asarray(val_data.sample, dtype="datetime64[ns]"))
         results["monthly_climo_rmse"] = verify.monthly_climo_error(
@@ -175,7 +198,7 @@ def main(argv=None):
 
     if args.barotropic:
         results["barotropic_rmse"] = _barotropic_baseline(
-            data, val_data, forecast, ver, v, dt_hours, steps_out
+            data, val_data, forecast, ver, v, dt_hours, steps_out, lat_sel
         )
 
     # Report in physical units for the chosen variable.
@@ -215,7 +238,8 @@ def main(argv=None):
     return results
 
 
-def _barotropic_baseline(data, val_data, forecast, ver, v, dt_hours, steps_out):
+def _barotropic_baseline(data, val_data, forecast, ver, v, dt_hours,
+                         steps_out, lat_sel=slice(None)):
     """Barotropic physics baseline (reference validate.py:250-273)."""
     import jax.numpy as jnp
 
@@ -245,8 +269,10 @@ def _barotropic_baseline(data, val_data, forecast, ver, v, dt_hours, steps_out):
     every = max(1, int(dt_hours * 3600.0 / dt))
     _, _, zs = model.run_with_snapshots(state, steps_out, every)
     zs = (np.asarray(zs) - mean) / std  # back to scaled space
+    zs = zs[..., lat_sel, :]
     return verify.forecast_error(
-        zs, ver[:, :, v], method="rmse", axis=tuple(range(1, zs.ndim))
+        zs, ver[:, :, v][..., lat_sel, :], method="rmse",
+        axis=tuple(range(1, zs.ndim)),
     )
 
 
