@@ -115,6 +115,34 @@ class SeriesSampler:
         else:
             self._insolation = None
 
+        # Pre-drop NaN-contaminated windows (e.g. the restart-boundary
+        # marker rows of barotropic archives) so every batch is full-size:
+        # the per-batch removal in generate() would otherwise yield ragged
+        # batch shapes, each of which is a separate jit compilation of the
+        # train step (minutes per shape on a remote TPU) and -- under data
+        # parallelism -- a dropped batch. One streaming NaN pass over the
+        # series at construction; windows are validated with a cumulative
+        # count, matching generate()'s joint input+target criterion.
+        self._valid = None
+        if self._remove_nan:
+            N = self._series.shape[0]
+            row_nan = np.zeros(N, dtype=np.int64)
+            step = 4096
+            for i in range(0, N, step):
+                chunk = np.asarray(self._series[i : i + step])
+                row_nan[i : i + len(chunk)] = np.isnan(
+                    chunk.reshape(len(chunk), -1)
+                ).any(axis=1)
+            if row_nan.any():
+                cs = np.concatenate([[0], np.cumsum(row_nan)])
+                idx = np.arange(self._n_sample)
+                in_ok = (cs[idx + self._in_ts] - cs[idx]) == 0
+                t0 = self._in_ts + self._interval - 1
+                seq = self._sequence if self._sequence is not None else 1
+                t1 = t0 + self._out_ts * seq
+                out_ok = (cs[idx + t1] - cs[idx + t0]) == 0
+                self._valid = idx[in_ok & out_ok]
+
         self.on_epoch_end()
 
     # --------------------------------------------------------------- shapes
@@ -164,12 +192,17 @@ class SeriesSampler:
 
     # ---------------------------------------------------------------- epoch
     def on_epoch_end(self):
-        self._indices = np.arange(self._n_sample)
+        self._indices = (
+            self._valid.copy()
+            if self._valid is not None
+            else np.arange(self._n_sample)
+        )
         if self._shuffle:
             self._rng.shuffle(self._indices)
 
     def __len__(self) -> int:
-        return int(np.ceil(self._n_sample / self._batch_size))
+        n = len(self._valid) if self._valid is not None else self._n_sample
+        return int(np.ceil(n / self._batch_size))
 
     # ------------------------------------------------------------- assembly
     def _gather(self, arr, samples: np.ndarray, offsets: range, chan_idx):
