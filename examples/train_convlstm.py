@@ -63,6 +63,10 @@ def main(argv=None):
                    help="cosine LR decay to 5%% over the run + grad clip")
     p.add_argument("--validation-fraction", type=float, default=0.0,
                    help="hold out the series tail for val_loss/early stop")
+    p.add_argument("--no-val-eval", action="store_true",
+                   help="hold the tail out of training but skip the "
+                        "per-epoch evaluation pass (validate separately "
+                        "with examples/validate.py)")
     p.add_argument("--min-epochs", type=int, default=0)
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--loss", default="mse", choices=["mse", "lat_mse"])
@@ -109,7 +113,11 @@ def main(argv=None):
         batch_size=args.batch_size, shuffle=shuffle, seed=args.seed,
     )
     sampler = mk(train_data, True)
-    val_gen = mk(val_data, False) if val_data is not None else None
+    val_gen = (
+        mk(val_data, False)
+        if val_data is not None and not args.no_val_eval
+        else None
+    )
     # Recurrent layout: (B, T, C, H, W) in; targets keep the time axis too.
     T, C, H, W = sampler.convolution_shape
     out_t, out_c = sampler.output_convolution_shape[:2]
