@@ -36,11 +36,19 @@ class DeviceSeriesSampler:
         series = np.ascontiguousarray(
             np.asarray(sampler._series), dtype=np.float32
         )
-        if sampler._remove_nan and np.isnan(series).any():
-            raise ValueError(
-                "device-resident sampling requires a NaN-free series "
-                "(clean or impute on host first)"
-            )
+        if np.isnan(series).any():
+            # NaN rows are acceptable ONLY as window-invalidating boundary
+            # markers (e.g. barotropic-archive restart boundaries): the
+            # sampler's construction-time pre-filter restricts the served
+            # index set to NaN-free windows, so the on-device gather never
+            # reads a marker into a batch. Without the pre-filter (or with
+            # remove_nan=False) a NaN would flow straight into training.
+            if not sampler._remove_nan or sampler._valid is None:
+                raise ValueError(
+                    "device-resident sampling requires a NaN-free series "
+                    "or a remove_nan sampler whose window pre-filter "
+                    "excludes every contaminated window"
+                )
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
         self._series = put(series)
         self._sol = (
@@ -84,8 +92,15 @@ class DeviceSeriesSampler:
         return p, t
 
     # --------------------------------------------------------------- batches
+    @property
+    def _index_pool(self) -> np.ndarray:
+        """Window start indices this sampler may serve (the NaN-window
+        pre-filtered set when markers are present)."""
+        s = self.sampler
+        return s._valid if s._valid is not None else np.arange(s._n_sample)
+
     def __len__(self) -> int:
-        return self.sampler._n_sample // self._batch  # drop ragged tail
+        return len(self._index_pool) // self._batch  # drop ragged tail
 
     def __getitem__(self, index: int):
         if index < 0:

@@ -552,7 +552,9 @@ class Trainer:
             epoch_fn = jax.jit(_epoch, donate_argnums=(0, 1))
             self._device_epoch_fns[id(sampler)] = epoch_fn
 
-        base_idx = np.arange(sampler.sampler._n_sample, dtype=np.int32)
+        # Window starts the sampler may serve: the NaN-window pre-filtered
+        # set when the series carries boundary markers, else every window.
+        base_idx = np.asarray(sampler._index_pool, dtype=np.int32)
         for epoch in range(epochs):
             t0 = time.time()
             idx = base_idx.copy()

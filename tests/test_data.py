@@ -390,7 +390,9 @@ class TestDeviceSeriesSampler:
             not np.allclose(a, b) for a, b in zip(first, second)
         )
 
-    def test_rejects_nan_series(self):
+    def test_rejects_unfiltered_nan_series(self):
+        """Without the construction-time window pre-filter (remove_nan off)
+        a NaN would flow into training on device; that stays an error."""
         from dlwp_tpu.data import DeviceSeriesSampler
 
         ds = make_series(n=30)
@@ -398,7 +400,42 @@ class TestDeviceSeriesSampler:
         arr[3, 0, 0, 0] = np.nan
         ds.predictors = arr
         with pytest.raises(ValueError, match="NaN"):
-            DeviceSeriesSampler(SeriesSampler(ds, batch_size=4))
+            DeviceSeriesSampler(
+                SeriesSampler(ds, batch_size=4, remove_nan=False)
+            )
+
+    def test_marker_series_prefiltered_on_device(self):
+        """A series with NaN boundary-marker rows (the barotropic-archive
+        restart convention) IS device-resident-servable: the sampler's
+        pre-filter restricts the index pool to NaN-free windows, the
+        on-device gather matches the host sampler batch-for-batch, and the
+        jitted-scan epoch driver trains on it."""
+        import jax
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        ds = make_series(n=60)
+        arr = np.array(ds.predictors)
+        arr[[17, 38]] = np.nan  # two restart markers
+        ds.predictors = arr
+        kw = dict(input_time_steps=2, output_time_steps=1, batch_size=8,
+                  shuffle=False)
+        host = SeriesSampler(ds, **kw)
+        dev = DeviceSeriesSampler(SeriesSampler(ds, **kw))
+        assert host._valid is not None and len(dev) >= 1
+        for i in range(len(dev)):
+            xh, yh = host[i]
+            xd, yd = dev[i]
+            assert not np.isnan(np.asarray(xd)).any()
+            np.testing.assert_allclose(np.asarray(xd), xh, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(yd), yh, atol=1e-6)
+        model = build_sequential([("CyclicConv2D", (2, 3), {})])
+        tr = Trainer(model, TrainConfig(batch_size=8))
+        tr.fit_device(dev, epochs=1, verbose=False)
+        with jax.transfer_guard("disallow"):
+            hist = tr.fit_device(dev, epochs=1, verbose=False)
+        assert np.isfinite(hist.history["loss"]).all()
 
     def test_trains_with_trainer(self):
         from dlwp_tpu.data import DeviceSeriesSampler

@@ -89,6 +89,7 @@ class TestExampleWorkflows:
     def test_validate(self, tmp_path):
         out = run_example(
             "validate.py", "--forecast-steps", "4",
+            "--barotropic-form", "vrt",  # exercise the selectable core
             "--plot-file", str(tmp_path / "v.png"),
             "--output-file", str(tmp_path / "v.pkl"),
             timeout=600,
