@@ -70,6 +70,10 @@ def main(argv=None):
     p.add_argument("--min-epochs", type=int, default=0)
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--loss", default="mse", choices=["mse", "lat_mse"])
+    p.add_argument("--device-resident", action="store_true",
+                   help="push the whole series to HBM and assemble batches "
+                        "on device; each epoch runs as one jitted scan "
+                        "(DeviceSeriesSampler + Trainer.fit_device)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -169,6 +173,12 @@ def main(argv=None):
         early_stopping=args.patience > 0, min_epochs=args.min_epochs,
         patience=args.patience, seed=args.seed,
     )
+    if args.device_resident:
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        sampler = DeviceSeriesSampler(sampler)
+        if val_gen is not None:
+            val_gen = DeviceSeriesSampler(val_gen)
     t0 = time.time()
     history = dlwp.fit_generator(
         sampler, validation_data=val_gen, epochs=args.epochs, verbose=True
