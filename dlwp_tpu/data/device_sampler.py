@@ -69,20 +69,32 @@ class DeviceSeriesSampler:
         self._input_idx = jnp.asarray(s._input_idx)
         self._output_idx = jnp.asarray(s._output_idx)
         self._batch = s._batch_size
-        self._gather = jax.jit(self._gather_impl)
+        self._gather = jax.jit(self._gather_impl)  # series/sol as params
 
     # ------------------------------------------------------------- assembly
-    def _gather_impl(self, samples: jax.Array):
-        """samples (B,) -> (x, y) exactly as SeriesSampler.generate."""
+    def _gather_impl(self, samples: jax.Array, series=None, sol=None):
+        """samples (B,) -> (x, y) exactly as SeriesSampler.generate.
+
+        ``series``/``sol`` default to the sampler's HBM-resident arrays but
+        are accepted as explicit arguments so jit treats them as
+        PARAMETERS: closure-captured concrete arrays become embedded
+        constants in the lowered program, which at archive sizes
+        (~0.7 GB) overflows remote-compile transports (measured: the
+        whole-epoch scan died with HTTP 413 through the TPU tunnel).
+        """
+        if series is None:
+            series = self._series
+        if sol is None:
+            sol = self._sol
         s = self.sampler
         B = samples.shape[0]
         in_t = samples[:, None] + self._in_offsets[None, :]  # (B, T)
-        p = self._series[in_t][:, :, self._input_idx]  # (B, T, C, H, W)
-        if self._sol is not None:
-            sol = self._sol[in_t][:, :, None]  # (B, T, 1, H, W)
-            p = jnp.concatenate([p, sol], axis=2)
+        p = series[in_t][:, :, self._input_idx]  # (B, T, C, H, W)
+        if sol is not None:
+            sol_b = sol[in_t][:, :, None]  # (B, T, 1, H, W)
+            p = jnp.concatenate([p, sol_b], axis=2)
         out_t = samples[:, None, None] + self._out_offsets[None]  # (B, S, O)
-        t = self._series[out_t][:, :, :, self._output_idx]  # (B, S, O, C, H, W)
+        t = series[out_t][:, :, :, self._output_idx]  # (B, S, O, C, H, W)
 
         p = p.reshape((B,) + s.convolution_shape)
         S = t.shape[1]
@@ -110,7 +122,7 @@ class DeviceSeriesSampler:
         sel = self.sampler._indices[
             index * self._batch : (index + 1) * self._batch
         ]
-        return self._gather(jnp.asarray(sel))
+        return self._gather(jnp.asarray(sel), self._series, self._sol)
 
     def __iter__(self):
         for i in range(len(self)):

@@ -537,10 +537,14 @@ class Trainer:
             self._device_epoch_fns = {}
         epoch_fn = self._device_epoch_fns.get(id(sampler))
         if epoch_fn is None:
-            def _epoch(params, opt_state, idx):
+            # The HBM-resident series/insolation enter as jit PARAMETERS
+            # (not closure captures): captured concrete arrays lower to
+            # embedded constants, which at archive sizes overflows
+            # remote-compile transports (HTTP 413 through the TPU tunnel).
+            def _epoch(params, opt_state, idx, series, sol):
                 def body(carry, samples):
                     p, o = carry
-                    xb, yb = gather(samples)
+                    xb, yb = gather(samples, series, sol)
                     p, o, m = train_step(p, o, xb, yb)
                     return (p, o), m
 
@@ -562,7 +566,8 @@ class Trainer:
                 rng.shuffle(idx)
             idx_dev = jax.device_put(idx[:n_used].reshape(nb, bsz))
             self.params, self.opt_state, ms = epoch_fn(
-                self.params, self.opt_state, idx_dev
+                self.params, self.opt_state, idx_dev,
+                sampler._series, sampler._sol,
             )
             metrics = {
                 k: float(np.mean(v)) for k, v in jax.device_get(ms).items()

@@ -498,6 +498,28 @@ class TestDeviceSeriesSampler:
              jax.transfer_guard_host_to_device("disallow"):
             tr.fit(generator=dev, epochs=1, verbose=False, callbacks=[bh])
 
+    def test_series_not_embedded_in_lowered_gather(self):
+        """The HBM series/insolation must enter the jitted gather (and the
+        fit_device epoch program) as PARAMETERS, not closure-captured
+        constants: captured concrete arrays lower to embedded literals,
+        which at archive sizes (~0.7 GB) overflows remote-compile
+        transports (measured: HTTP 413 'length limit exceeded' through
+        the TPU tunnel). Guard: the lowered text must stay far smaller
+        than the data it gathers from."""
+        import jax
+        from dlwp_tpu.data import DeviceSeriesSampler
+
+        ds = make_series(n=200)
+        dev = DeviceSeriesSampler(
+            SeriesSampler(ds, batch_size=8, add_insolation=True)
+        )
+        idx = np.arange(8, dtype=np.int32)
+        lowered = jax.jit(dev._gather_impl).lower(
+            idx, dev._series, dev._sol
+        )
+        data_bytes = dev._series.size * 4 + dev._sol.size * 4
+        assert len(lowered.as_text()) < max(200_000, data_bytes // 10)
+
     def test_fit_device_matches_per_batch_path(self):
         """Same data, same seed, shuffle off: the jitted-scan epoch driver
         and the per-batch fit produce the same loss trajectory."""
