@@ -339,16 +339,42 @@ class DLWPNeuralNet:
         return self.trainer.evaluate((x, y), **kwargs)
 
     # -------------------------------------------------------- persistence
+    _UNPICKLABLE = "<<unpicklable>>"
+
     def __getstate__(self):
+        import dataclasses
+        import pickle as _pickle
+
         state = dict(self.__dict__)
         # flax modules / trainer are rebuilt from specs on load (analogue of
         # nulling Keras objects before pickling, util.py:143-147).
         state["_params"] = self.trainer.params if self.trainer else self._params
         state.pop("base_model", None)
         state.pop("trainer", None)
+        # Callable loss/optimizer objects (closures like
+        # latitude_weighted_loss, optax.chain transforms with local
+        # functions) are not picklable; replace them with a sentinel so the
+        # saved file stays loadable for inference (the reference likewise
+        # nulls compile-time Keras objects). Reload warns and falls back to
+        # defaults; pass loss/optimizer to build_model again to resume
+        # training with the original schedule.
+        cfg = state.get("_train_config")
+        if cfg is not None:
+            repl = {}
+            for field in ("loss", "optimizer"):
+                v = getattr(cfg, field)
+                try:
+                    _pickle.dumps(v)
+                except Exception:
+                    repl[field] = self._UNPICKLABLE
+            if repl:
+                state["_train_config"] = dataclasses.replace(cfg, **repl)
         return state
 
     def __setstate__(self, state):
+        import dataclasses
+        import warnings
+
         self._params = state.pop("_params", None)
         self._sample_shape = state.pop("_sample_shape", None)
         self.__dict__.update(state)
@@ -357,6 +383,21 @@ class DLWPNeuralNet:
         if self.layer_specs is not None:
             self.base_model = build_sequential(self.layer_specs)
             cfg = self._train_config or TrainConfig()
+            repl = {
+                field: default
+                for field, default in (("loss", "mse"), ("optimizer", "adam"))
+                if getattr(cfg, field, None) == self._UNPICKLABLE
+            }
+            if repl:
+                warnings.warn(
+                    f"saved model used non-picklable {sorted(repl)}; "
+                    f"restored with defaults {repl} -- inference is exact, "
+                    "but to resume training with the original loss/schedule "
+                    "pass them to build_model again",
+                    stacklevel=2,
+                )
+                cfg = dataclasses.replace(cfg, **repl)
+                self._train_config = cfg
             self.trainer = Trainer(self.base_model, cfg)
             self.trainer.params = self._params
 

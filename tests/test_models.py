@@ -316,6 +316,33 @@ class TestDLWPNeuralNet:
         pred2 = loaded.predict(x)
         np.testing.assert_allclose(pred1, pred2, atol=1e-6)
 
+    def test_save_load_with_unpicklable_optimizer(self, tmp_path):
+        """A model built with an optax transform (local-closure
+        GradientTransformation, e.g. clip + cosine-decay adam -- the paper
+        training configuration) must still persist: save strips the
+        non-picklable optimizer (as the reference nulls Keras compile
+        objects, util.py:143-147), reload warns and restores defaults, and
+        inference is exact."""
+        import optax
+
+        dlwp = DLWPNeuralNet(time_dim=1, scaler_type=None)
+        dlwp.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (2, 3), {})],
+            optimizer=optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adam(optax.cosine_decay_schedule(1e-3, 10, 0.05)),
+            ),
+        )
+        x = np.asarray(rand(8, 2, 8, 16))
+        dlwp.fit(x, x, epochs=1, batch_size=8, verbose=False)
+        pred1 = dlwp.predict(x)
+        path = str(tmp_path / "chain_model")
+        save_model(dlwp, path)
+        with pytest.warns(UserWarning, match="non-picklable"):
+            loaded = load_model(path)
+        np.testing.assert_allclose(pred1, loaded.predict(x), atol=1e-6)
+
     def test_imputation(self):
         dlwp = self._build(impute_missing=True)
         x = np.asarray(rand(16, 2, 8, 16)).copy()
