@@ -126,21 +126,34 @@ class SeriesSampler:
         self._valid = None
         if self._remove_nan:
             N = self._series.shape[0]
-            row_nan = np.zeros(N, dtype=np.int64)
+            # NaN flags restricted to the SELECTED channels, separately for
+            # inputs and targets: generate()'s joint criterion (matching
+            # reference generators.py:563-565) only inspects the selected
+            # input/output channels, so a NaN confined to an unselected
+            # varlev must not invalidate a window.
+            in_idx = np.asarray(self._input_idx)
+            out_idx = np.asarray(self._output_idx)
+            row_nan_in = np.zeros(N, dtype=np.int64)
+            row_nan_out = np.zeros(N, dtype=np.int64)
             step = 4096
             for i in range(0, N, step):
                 chunk = np.asarray(self._series[i : i + step])
-                row_nan[i : i + len(chunk)] = np.isnan(
-                    chunk.reshape(len(chunk), -1)
-                ).any(axis=1)
-            if row_nan.any():
-                cs = np.concatenate([[0], np.cumsum(row_nan)])
+                nan = np.isnan(chunk)
+                row_nan_in[i : i + len(chunk)] = (
+                    nan[:, in_idx].reshape(len(chunk), -1).any(axis=1)
+                )
+                row_nan_out[i : i + len(chunk)] = (
+                    nan[:, out_idx].reshape(len(chunk), -1).any(axis=1)
+                )
+            if row_nan_in.any() or row_nan_out.any():
+                cs_in = np.concatenate([[0], np.cumsum(row_nan_in)])
+                cs_out = np.concatenate([[0], np.cumsum(row_nan_out)])
                 idx = np.arange(self._n_sample)
-                in_ok = (cs[idx + self._in_ts] - cs[idx]) == 0
+                in_ok = (cs_in[idx + self._in_ts] - cs_in[idx]) == 0
                 t0 = self._in_ts + self._interval - 1
                 seq = self._sequence if self._sequence is not None else 1
                 t1 = t0 + self._out_ts * seq
-                out_ok = (cs[idx + t1] - cs[idx + t0]) == 0
+                out_ok = (cs_out[idx + t1] - cs_out[idx + t0]) == 0
                 self._valid = idx[in_ok & out_ok]
 
         self.on_epoch_end()

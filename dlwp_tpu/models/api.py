@@ -346,6 +346,31 @@ class DLWPNeuralNet:
         import pickle as _pickle
 
         state = dict(self.__dict__)
+        # Bake activation defaults that affect trained-weight semantics into
+        # the saved specs: a later change to ConvLSTM2D's
+        # recurrent_activation default must not silently rebuild an old
+        # model with different gates than it trained with.
+        specs = state.get("layer_specs")
+        if specs is not None:
+            baked = []
+            for spec in specs:
+                if (
+                    not isinstance(spec, (list, tuple))
+                    or len(spec) != 3
+                    or spec[0] != "ConvLSTM2D"
+                ):
+                    baked.append(spec)
+                    continue
+                name, args, kwargs = spec
+                kwargs = dict(kwargs or {})
+                if "recurrent_activation" not in kwargs:
+                    from dlwp_tpu.models.layers import ConvLSTM2D
+
+                    kwargs["recurrent_activation"] = ConvLSTM2D.recurrent_activation
+                baked.append((name, args, kwargs))
+            state["layer_specs"] = type(specs)(baked) if isinstance(
+                specs, (list, tuple)
+            ) else baked
         # flax modules / trainer are rebuilt from specs on load (analogue of
         # nulling Keras objects before pickling, util.py:143-147).
         state["_params"] = self.trainer.params if self.trainer else self._params

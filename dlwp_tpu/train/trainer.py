@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import time
 import warnings
+import weakref
 from typing import Any, Callable, Iterable
 
 import numpy as np
@@ -350,12 +351,13 @@ class Trainer:
         if (
             generator is not None
             and hasattr(generator, "_gather_impl")
-            and checkpoint_dir is None
             and not any(hasattr(cb, "on_batch") for cb in callbacks or [])
         ):
             return self.fit_device(
                 generator, epochs=epochs, verbose=verbose,
                 callbacks=callbacks, validation_data=validation_data,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every, resume=resume,
             )
 
         if self.params is None:
@@ -495,6 +497,9 @@ class Trainer:
         verbose: bool = True,
         callbacks: list | None = None,
         validation_data=None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
     ) -> History:
         """Fully device-resident epoch driver (SURVEY.md section 3.1's
         endgame: "a jit'd scan over device-resident sharded arrays").
@@ -521,7 +526,17 @@ class Trainer:
             if cfg.early_stopping
             else None
         )
-        rng = np.random.RandomState(cfg.seed)
+        # Honor the wrapped SeriesSampler's own shuffle flag and RNG so a
+        # device-resident sampler built over SeriesSampler(shuffle=False)
+        # trains unshuffled and batch order matches the per-batch path for
+        # the same sampler; fall back to the trainer config otherwise.
+        base = getattr(sampler, "sampler", None)
+        if base is not None and hasattr(base, "_shuffle"):
+            do_shuffle = bool(base._shuffle)
+            rng = base._rng
+        else:
+            do_shuffle = cfg.shuffle
+            rng = np.random.RandomState(cfg.seed)
         if self.params is None:
             x0, _ = sampler[0]
             self.init(x0[:1])
@@ -534,8 +549,11 @@ class Trainer:
         train_step = self._train_step
 
         if not hasattr(self, "_device_epoch_fns"):
-            self._device_epoch_fns = {}
-        epoch_fn = self._device_epoch_fns.get(id(sampler))
+            # Weak keys: an id()-keyed dict could hand a NEW sampler the
+            # stale epoch_fn of a collected one (whose closure is bound to
+            # the old gather's static shapes/channel indices).
+            self._device_epoch_fns = weakref.WeakKeyDictionary()
+        epoch_fn = self._device_epoch_fns.get(sampler)
         if epoch_fn is None:
             # The HBM-resident series/insolation enter as jit PARAMETERS
             # (not closure captures): captured concrete arrays lower to
@@ -554,15 +572,39 @@ class Trainer:
                 return params, opt_state, ms
 
             epoch_fn = jax.jit(_epoch, donate_argnums=(0, 1))
-            self._device_epoch_fns[id(sampler)] = epoch_fn
+            self._device_epoch_fns[sampler] = epoch_fn
 
+        start_epoch = 0
+        if checkpoint_dir and resume:
+            from dlwp_tpu.train.checkpoint import restore_checkpoint
+
+            try:
+                state, meta = restore_checkpoint(
+                    checkpoint_dir,
+                    template={"params": self.params,
+                              "opt_state": self.opt_state},
+                )
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resumed from epoch {start_epoch}")
+            except FileNotFoundError:
+                pass
+        # Keep the shuffled index stream aligned with a resumed epoch count
+        # so a resumed run sees the batch order the uninterrupted run would
+        # have (the RNG state advances once per completed epoch).
         # Window starts the sampler may serve: the NaN-window pre-filtered
         # set when the series carries boundary markers, else every window.
         base_idx = np.asarray(sampler._index_pool, dtype=np.int32)
-        for epoch in range(epochs):
+        if start_epoch and do_shuffle:
+            skip = base_idx.copy()
+            for _ in range(start_epoch):
+                rng.shuffle(skip)
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             idx = base_idx.copy()
-            if cfg.shuffle:
+            if do_shuffle:
                 rng.shuffle(idx)
             idx_dev = jax.device_put(idx[:n_used].reshape(nb, bsz))
             self.params, self.opt_state, ms = epoch_fn(
@@ -592,6 +634,13 @@ class Trainer:
             history.append(epoch, metrics)
             for cb in callbacks or []:
                 cb(epoch, metrics, self.params)
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                from dlwp_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_dir, self.params, self.opt_state,
+                    step=epoch, metadata={"epoch": epoch, **metrics},
+                )
             if verbose:
                 desc = " ".join(f"{k}={v:.6g}" for k, v in metrics.items())
                 print(f"epoch {epoch + 1}/{epochs}: {desc}")

@@ -42,6 +42,14 @@ def parse_args(argv=None):
     p.add_argument("--device-resident", action="store_true",
                    help="push the whole series to HBM and assemble batches "
                         "on device (DeviceSeriesSampler)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="write an orbax checkpoint every --checkpoint-every "
+                        "epochs (mid-training checkpointing; the reference "
+                        "saves only at the end, util.py:126-192)")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --checkpoint-dir "
+                        "and continue from its epoch")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -124,9 +132,17 @@ def main(argv=None):
         patience=args.patience, seed=args.seed,
     )
 
+    ckpt_kwargs = {}
+    if args.checkpoint_dir:
+        ckpt_kwargs = dict(
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
     t0 = time.time()
     history = dlwp.fit_generator(
-        train_gen, validation_data=val_gen, epochs=args.epochs, verbose=True
+        train_gen, validation_data=val_gen, epochs=args.epochs, verbose=True,
+        **ckpt_kwargs,
     )
     print(f"Train time -- {time.time() - t0:.0f} seconds")
 

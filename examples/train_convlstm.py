@@ -74,6 +74,15 @@ def main(argv=None):
                    help="push the whole series to HBM and assemble batches "
                         "on device; each epoch runs as one jitted scan "
                         "(DeviceSeriesSampler + Trainer.fit_device)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="write an orbax checkpoint of {params, opt_state} "
+                        "every --checkpoint-every epochs (mid-training "
+                        "checkpointing the reference lacks -- it saves only "
+                        "at the end, util.py:126-192)")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --checkpoint-dir "
+                        "and continue from its epoch")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -179,9 +188,17 @@ def main(argv=None):
         sampler = DeviceSeriesSampler(sampler)
         if val_gen is not None:
             val_gen = DeviceSeriesSampler(val_gen)
+    ckpt_kwargs = {}
+    if args.checkpoint_dir:
+        ckpt_kwargs = dict(
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
     t0 = time.time()
     history = dlwp.fit_generator(
-        sampler, validation_data=val_gen, epochs=args.epochs, verbose=True
+        sampler, validation_data=val_gen, epochs=args.epochs, verbose=True,
+        **ckpt_kwargs,
     )
     print(f"Train time -- {time.time() - t0:.0f} seconds")
     save_model(dlwp, args.model_file, history=history)

@@ -106,3 +106,43 @@ class TestTrainerCheckpointResume:
         np.testing.assert_allclose(
             hist.history["loss"], hist3.history["loss"][3:], rtol=1e-5
         )
+
+    def test_fit_device_checkpoint_and_resume(self, tmp_path):
+        """The device-resident epoch driver checkpoints/resumes like the
+        per-batch path: a run killed after 3 epochs continues to 6 and
+        reproduces the uninterrupted run's loss trajectory (including the
+        shuffled batch order, whose RNG stream is re-aligned on resume)."""
+        from dlwp_tpu.data import (
+            DeviceSeriesSampler, PredictorDataset, SeriesSampler,
+        )
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer
+
+        rs = np.random.RandomState(1)
+        ds = PredictorDataset(
+            predictors=rs.randn(40, 2, 6, 12).astype(np.float32),
+            sample=np.datetime64("2000-01-01")
+            + np.arange(40) * np.timedelta64(6, "h"),
+            varlev=["A/1", "B/1"],
+            lat=np.linspace(75, -75, 6), lon=np.arange(12) * 30.0,
+        )
+        ckpt = str(tmp_path / "ckdev")
+
+        def mk():
+            dev = DeviceSeriesSampler(
+                SeriesSampler(ds, batch_size=8, shuffle=True, seed=5)
+            )
+            model = build_sequential([("CyclicConv2D", (2, 3), {})])
+            return dev, Trainer(model, TrainConfig(batch_size=8, seed=5))
+
+        dev, tr = mk()
+        tr.fit_device(dev, epochs=3, verbose=False, checkpoint_dir=ckpt)
+        dev2, tr2 = mk()
+        hist = tr2.fit_device(dev2, epochs=6, verbose=False,
+                              checkpoint_dir=ckpt, resume=True)
+        assert hist.epoch[0] == 3
+        dev3, tr3 = mk()
+        hist3 = tr3.fit_device(dev3, epochs=6, verbose=False)
+        np.testing.assert_allclose(
+            hist.history["loss"], hist3.history["loss"][3:], rtol=1e-5
+        )

@@ -242,6 +242,36 @@ class TestSeriesSampler:
         # Sample indices 6 and 7 both touch the NaN step (input or target).
         assert len(x) == s._n_sample - 2
 
+    def test_nan_filter_respects_channel_selection(self):
+        """The construction-time window pre-filter matches generate()'s
+        joint criterion (reference generators.py:563-565): only the
+        SELECTED input/output channels are inspected, so a NaN confined to
+        an unselected varlev must not shrink the served dataset."""
+        ds = make_series()
+        arr = np.array(ds.predictors)
+        arr[7, 1, 0, 0] = np.nan  # NaN only in channel 1 (THICK)
+        ds.predictors = arr
+        kw = dict(input_time_steps=2, output_time_steps=1, batch_size=1000)
+        # Channel 1 unselected on both sides: nothing is filtered.
+        s = SeriesSampler(ds, input_sel=["HGT/500"], output_sel=["HGT/500"],
+                          remove_nan=True, **kw)
+        assert s._valid is None
+        x, _ = s[0]
+        assert len(x) == s._n_sample and not np.isnan(x).any()
+        # Channel 1 selected as input only: input windows touching t=7 are
+        # dropped; output windows touching t=7 (via channel-0 targets) stay.
+        s_in = SeriesSampler(ds, input_sel=["HGT/500", "THICK/300-700"],
+                             output_sel=["HGT/500"], remove_nan=True, **kw)
+        dropped_in = {6, 7}  # windows whose inputs (t, t+1) include 7
+        assert set(np.arange(s_in._n_sample)) - set(s_in._valid) == dropped_in
+        # Channel 1 selected as output only: only target windows drop.
+        s_out = SeriesSampler(ds, input_sel=["HGT/500"],
+                              output_sel=["THICK/300-700"], remove_nan=True,
+                              **kw)
+        dropped_out = {5}  # window whose target (t+2) is 7
+        assert (set(np.arange(s_out._n_sample)) - set(s_out._valid)
+                == dropped_out)
+
     def test_shuffle_reproducible(self):
         ds = make_series()
         s1 = SeriesSampler(ds, batch_size=8, shuffle=True, seed=3)
@@ -549,6 +579,29 @@ class TestDeviceSeriesSampler:
         np.testing.assert_allclose(
             h_scan.history["loss"], h_batch.history["loss"], rtol=1e-6
         )
+
+    def test_fit_device_honors_sampler_shuffle(self):
+        """fit_device takes the shuffle decision from the WRAPPED sampler,
+        not the trainer config: a device sampler built over
+        SeriesSampler(shuffle=False) trains unshuffled even when the
+        TrainConfig default (shuffle=True) says otherwise."""
+        from dlwp_tpu.data import DeviceSeriesSampler
+        from dlwp_tpu.models import build_sequential
+        from dlwp_tpu.train import Trainer, TrainConfig
+
+        ds = make_series(n=40)
+
+        def losses(cfg_shuffle):
+            dev = DeviceSeriesSampler(
+                SeriesSampler(ds, batch_size=8, shuffle=False)
+            )
+            model = build_sequential([("CyclicConv2D", (2, 3), {})])
+            tr = Trainer(
+                model, TrainConfig(batch_size=8, shuffle=cfg_shuffle, seed=3)
+            )
+            return tr.fit_device(dev, epochs=2, verbose=False).history["loss"]
+
+        np.testing.assert_allclose(losses(True), losses(False), rtol=1e-6)
 
 
 class TestDenseSampler:

@@ -125,6 +125,27 @@ class TestExampleWorkflows:
         assert (results["monthly_climo_rmse"][0]
                 < results["climatology_rmse"][0])
 
+    def test_train_convlstm_checkpoint_resume(self, tmp_path):
+        """A killed multi-epoch run continues from its checkpoint: the
+        canonical workflow trains 1 epoch with --checkpoint-dir (simulating
+        the kill by just stopping there), then a second invocation with
+        --resume picks up at epoch 2 instead of restarting. This is the
+        flaky-tunnel insurance the paper run depends on (mid-training
+        checkpointing the reference lacks, util.py:126-192)."""
+        ck = str(tmp_path / "ck")
+        common = [
+            "--batch-size", "16", "--device-resident",
+            "--checkpoint-dir", ck,
+            "--model-file", str(tmp_path / "m"),
+        ]
+        run_example("train_convlstm.py", "--epochs", "1", *common)
+        out = run_example(
+            "train_convlstm.py", "--epochs", "2", "--resume", *common,
+        )
+        assert "resumed from epoch 1" in out
+        assert "epoch 2/2" in out and "epoch 1/2" not in out
+        assert os.path.exists(tmp_path / "m.pkl")
+
     def test_train_then_validate(self, tmp_path):
         """The cross-script user flow: a model trained by train.py (whose
         demo default adds the insolation channel) must validate via
