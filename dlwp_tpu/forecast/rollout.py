@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from dlwp_tpu.data.sampler import SeriesSampler
-from dlwp_tpu.grid.insolation import day_of_year, insolation
+from dlwp_tpu.grid.insolation import (
+    day_of_year,
+    insolation_from_tables,
+    insolation_tables,
+)
 
 SOL_CHANNEL = "SOL"  # reference name for the insolation channel (extensions.py:127)
 
@@ -145,8 +149,13 @@ class TimeSeriesEstimator:
         in_ts, out_ts = self._in_ts, self._out_ts
         k = self._k
         dt_hours = self._dt_hours
-        lat = jnp.asarray(self._lat)
-        lon = jnp.asarray(self._lon)
+        # Insolation enters the scan in factored form: three static
+        # (H, W) basis fields contracted with per-step day scalars --
+        # O(B) transcendentals + one (B*in_ts, 3)x(3, H*W) matmul per
+        # step instead of a full transcendental field per grid point
+        # (the reference recomputes the field on the host each step,
+        # extensions.py:236-240).
+        sol_tables = jnp.asarray(insolation_tables(self._lat, self._lon))
         H, W = self._lat.shape[0], self._lon.shape[0]
         C_in = len(self._input_names)
         sources = self._sources
@@ -195,8 +204,8 @@ class TimeSeriesEstimator:
                 for c, (kind, idx) in enumerate(sources):
                     if kind == "sol":
                         if sol is None:
-                            sol = insolation(
-                                days.reshape(-1), lat, lon
+                            sol = insolation_from_tables(
+                                days.reshape(-1), sol_tables
                             ).reshape(B, in_ts, H, W)
                         channels.append(sol[:, m])
                     elif kind == "pred" and j is not None:

@@ -128,3 +128,25 @@ class TestInsolation:
         lon = np.arange(0, 360, 20.0)
         sol = np.asarray(insolation(100.0, lat, lon))
         assert sol.shape == (19, 18)
+
+    def test_factored_tables_match_direct(self):
+        """The (3, H, W)-basis factored form (rollout fast path) matches
+        the direct formula: the only algebraic differences are the cosine
+        addition identity and cos(decl) = sqrt(1 - sin^2 decl)."""
+        from dlwp_tpu.grid.insolation import (
+            insolation_from_tables, insolation_tables,
+        )
+
+        lat = np.linspace(87.5, -87.5, 36)
+        lon = np.arange(0, 360, 2.5)
+        days = np.array([0.0, 33.7, 100.3, 180.25, 265.5, 355.9, 420.6])
+        direct = np.asarray(insolation(days, lat, lon), dtype=np.float64)
+        tables = insolation_tables(lat, lon, dtype=np.float64)
+        fact = np.asarray(insolation_from_tables(days, tables))
+        np.testing.assert_allclose(fact, direct, atol=5e-7)
+        # Arbitrary leading shape.
+        d2 = days[:6].reshape(2, 3)
+        f2 = np.asarray(insolation_from_tables(d2, tables))
+        assert f2.shape == (2, 3, 36, 144)
+        np.testing.assert_allclose(f2.reshape(6, 36, 144), direct[:6],
+                                   atol=5e-7)
