@@ -16,8 +16,10 @@ Differences from the reference, by design:
   level metadata rather than a parameter-number CSV.
 
 Network access and pygrib are unavailable in the build environment, so the
-date/URL/file-management logic is unit-tested and the transfer paths are
-exercised only in deployment.
+date/URL/file-management logic is unit-tested directly and the transfer
+path (fetch, one retry, idempotency skip, atomic completion) is exercised
+end-to-end against a local HTTP fixture server
+(tests/test_plot_and_acquisition.py::TestRetrieveHTTP).
 """
 
 from __future__ import annotations
@@ -43,6 +45,37 @@ except ImportError:
 DATA_START = datetime(1979, 1, 1)
 DATA_END = datetime(2011, 3, 31)
 #
+
+def fetch_with_retry(url: str, local: str) -> bool:
+    """Download ``url`` to ``local``; skip if already present, retry once
+    on failure, then warn and move on (reference cfsr.py:284-296 semantics).
+
+    The download is atomic: bytes stream to ``local + '.part'`` and are
+    renamed into place only on success, so an interrupted transfer can
+    never leave a truncated file that a later idempotency check
+    (``getsize > 0``) would mistake for a completed one. Returns True if
+    the file is present afterwards.
+    """
+    if os.path.exists(local) and os.path.getsize(local) > 0:
+        return True
+    part = local + ".part"
+    for attempt in (1, 2):
+        try:
+            with urlopen(url) as r, open(part, "wb") as f:
+                f.write(r.read())
+            os.replace(part, local)
+            return True
+        except Exception as e:
+            if attempt == 2:
+                warnings.warn(f"failed to download {url}: {e}")
+        finally:
+            if os.path.exists(part):
+                try:
+                    os.remove(part)
+                except OSError:
+                    pass
+    return False
+
 
 _GRIB_DIR_FMT = "%Y/%Y%m/%Y%m%d"
 _GRIB_FILE_FMT = "pgb{res}{run}.gdas.%Y%m%d%H.grb2"
@@ -150,18 +183,10 @@ class CFSReanalysis:
             self.raw_files.append(rel)
 
         def fetch(rel):
-            local = os.path.join(self.root_directory, rel)
-            if os.path.exists(local) and os.path.getsize(local) > 0:
-                return
-            url = f"{self._root_url}/{rel}"
-            for attempt in (1, 2):  # retry once (cfsr.py:284-296)
-                try:
-                    with urlopen(url) as r, open(local, "wb") as f:
-                        f.write(r.read())
-                    return
-                except Exception as e:
-                    if attempt == 2:
-                        warnings.warn(f"failed to download {url}: {e}")
+            fetch_with_retry(
+                f"{self._root_url}/{rel}",
+                os.path.join(self.root_directory, rel),
+            )
 
         workers = max(1, n_proc) if n_proc else os.cpu_count()
         with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -419,18 +444,10 @@ class CFSReforecast:
                 self.raw_files.append(rel)
 
         def fetch(rel):
-            local = os.path.join(self.root_directory, rel)
-            if os.path.exists(local) and os.path.getsize(local) > 0:
-                return
-            url = f"{self._root_url}/{rel}"
-            for attempt in (1, 2):
-                try:
-                    with urlopen(url) as r, open(local, "wb") as f:
-                        f.write(r.read())
-                    return
-                except Exception as e:
-                    if attempt == 2:
-                        warnings.warn(f"failed to download {url}: {e}")
+            fetch_with_retry(
+                f"{self._root_url}/{rel}",
+                os.path.join(self.root_directory, rel),
+            )
 
         with ThreadPoolExecutor(max_workers=max(1, n_proc)) as pool:
             list(pool.map(fetch, self.raw_files))
