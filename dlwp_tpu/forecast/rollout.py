@@ -239,6 +239,7 @@ class TimeSeriesEstimator:
         samples=(),
         unscale: bool = False,
         prefer_first_times: bool = True,
+        init_batch_size: int | None = None,
     ) -> Forecast:
         """Run ``steps`` model iterations (each producing out_ts time steps).
 
@@ -256,13 +257,37 @@ class TimeSeriesEstimator:
         was predicted, from the previous window where it overlaps, from
         freshly computed insolation for 'SOL', and from the mean state
         otherwise (extensions.py:231-233).
+
+        ``init_batch_size`` chunks the init times through the same compiled
+        rollout program (final chunk padded to the compiled shape), bounding
+        device memory for large validation sets -- the behavior the
+        reference gets from Keras ``predict``'s internal batching.
         """
         steps = int(steps)
         if steps < 1:
             raise ValueError("steps must be >= 1")
         x0, init_days, mean_state, init_times = self.prepare_inputs(samples)
         rollout = self.rollout_fn(steps, prefer_first_times)
-        preds = np.asarray(rollout(x0, init_days, mean_state))
+        n_init = x0.shape[0]
+        if init_batch_size and init_batch_size < n_init:
+            bs = int(init_batch_size)
+            chunks = []
+            for i in range(0, n_init, bs):
+                xc, dc = x0[i : i + bs], init_days[i : i + bs]
+                nb = xc.shape[0]
+                if nb < bs:  # pad: reuse the compiled fixed-shape program
+                    reps = [1] * (xc.ndim - 1)
+                    xc = jnp.concatenate(
+                        [xc, jnp.tile(xc[-1:], [bs - nb] + reps)], axis=0
+                    )
+                    dc = jnp.concatenate(
+                        [dc, jnp.tile(dc[-1:], [bs - nb])], axis=0
+                    )
+                out = rollout(xc, dc, mean_state)
+                chunks.append(np.asarray(out[:, :nb]))
+            preds = np.concatenate(chunks, axis=1)
+        else:
+            preds = np.asarray(rollout(x0, init_days, mean_state))
         in_ts, out_ts, k = self._in_ts, self._out_ts, self._k
         dt_hours = self._dt_hours
         B = x0.shape[0]

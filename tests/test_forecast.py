@@ -95,6 +95,22 @@ class TestTimeSeriesEstimator:
         np.testing.assert_array_equal(fc.f_hour, [6, 12, 18, 24])
         assert np.isfinite(fc.values).all()
 
+    def test_init_batch_size_chunking_exact(self):
+        """Chunked prediction (incl. a padded ragged final chunk) must be
+        bit-identical to the all-at-once rollout."""
+        ds = make_series(n=40)
+        model, sampler = self._fit_model(ds)
+        est = TimeSeriesEstimator(model, sampler)
+        samples = list(range(7))  # 7 inits, chunk 3 -> 3+3+1(padded)
+        full = est.predict(3, samples=samples)
+        chunked = est.predict(3, samples=samples, init_batch_size=3)
+        np.testing.assert_array_equal(full.values, chunked.values)
+        np.testing.assert_array_equal(full.f_hour, chunked.f_hour)
+        assert list(full.times) == list(chunked.times)
+        # chunk >= n_init degenerates to the unchunked path
+        big = est.predict(3, samples=samples, init_batch_size=64)
+        np.testing.assert_array_equal(full.values, big.values)
+
     def test_rollout_matches_manual_loop(self):
         """Whole-state matched-I/O rollout must equal repeated predict."""
         ds = make_series(n=30)
