@@ -67,7 +67,11 @@ def sweep(batch, nlat, nlon):
             ref = np.asarray(y)
         else:
             dev = float(np.max(np.abs(np.asarray(y) - ref)))
-            assert dev < 1e-4, (impl, dev)
+            # Model convs run at TPU default matmul precision (bf16
+            # passes) by design; formulations contract in different
+            # orders, so cross-impl deviation is a few 1e-3 on TPU
+            # (exact-parity tests run on CPU in f64: tests/test_ops.py).
+            assert dev < 2e-2, (impl, dev)
         dt = timed_apply(model, params, x)
         gps = batch * nlat * nlon / dt
         print(f"  {impl:10s}: {dt*1e6:7.0f} us/apply -> "

@@ -25,10 +25,11 @@ from __graft_entry__ import _tower_specs
 B, T, C, H, W = 64, 2, 3, 36, 144
 
 
-def flagship(recurrent_activation, gate_dtype=None):
+def flagship(recurrent_activation, gate_dtype=None, gate_impl="xla"):
     lstm_features = 4 * C
     kw = {"dilation": 2, "return_sequences": True, "activation": "tanh",
-          "recurrent_activation": recurrent_activation}
+          "recurrent_activation": recurrent_activation,
+          "gate_impl": gate_impl}
     if gate_dtype:
         kw["gate_dtype"] = gate_dtype
     specs = [
@@ -65,13 +66,27 @@ def timed_apply(model, params, x, steps=50, repeats=3):
 
 
 def main():
-    for label, ra, gd in (
-        ("sigmoid gates (round-2 default)", "sigmoid", None),
-        ("hard_sigmoid gates (reference default)", "hard_sigmoid", None),
-        ("hard_sigmoid + bf16 gate compute", "hard_sigmoid", "bfloat16"),
-        ("sigmoid + bf16 gate compute", "sigmoid", "bfloat16"),
+    ref = None
+    for label, ra, gd, gi in (
+        ("sigmoid gates (round-2 default)", "sigmoid", None, "xla"),
+        ("hard_sigmoid gates (reference default)", "hard_sigmoid", None,
+         "xla"),
+        ("hard_sigmoid + bf16 gate compute", "hard_sigmoid", "bfloat16",
+         "xla"),
+        ("sigmoid + bf16 gate compute", "sigmoid", "bfloat16", "xla"),
+        ("hard_sigmoid, fused pallas gates", "hard_sigmoid", None,
+         "pallas"),
+        ("hard_sigmoid, pallas + bf16 gates", "hard_sigmoid", "bfloat16",
+         "pallas"),
     ):
-        model, params, x = flagship(ra, gd)
+        model, params, x = flagship(ra, gd, gi)
+        y = np.asarray(model.apply(params, x[:2]))
+        if label.startswith("hard_sigmoid gates"):
+            ref = y
+        if ref is not None and gi == "pallas" and gd is None:
+            dev = float(np.max(np.abs(y - ref)))
+            print(f"  [pallas vs xla hard_sigmoid fwd dev: {dev:.2e}]",
+                  flush=True)
         dt = timed_apply(model, params, x)
         gps = B * H * W / dt
         print(f"{label:42s}: {dt*1e6:7.0f} us/apply -> {gps/1e6:6.1f} Mgp/s",

@@ -198,6 +198,17 @@ class ConvLSTM2D(nn.Module):
     # canonical config this cuts the recurrent step 3241 -> 2794 us (-14%)
     # at ~0.2% relative h/c deviation over a 16-step scan (BASELINE.md).
     # None (default) = exact fp32 path; golden fixtures unchanged.
+    gate_impl: str = "auto"  # 'auto' (= 'xla') | 'xla' | 'pallas'. The
+    # in-scan gate chain is HBM-bandwidth-bound (hard_sigmoid vs sigmoid
+    # is a wash; bf16 gates gain +26% -- BASELINE.md round 4): 'pallas'
+    # fuses zx+zh and the whole gate chain into one VMEM pass
+    # (ops/lstm_gates.py), bit-identical on TPU (measured fwd dev 0.0)
+    # -- but it LOSES in-model (72.9 vs 83.0 Mgp/s flagship apply;
+    # 78.0 vs 105.0 with bf16 gates): XLA overlaps the gate chain with
+    # the recurrent conv, and the pallas_call serializes against it
+    # while its saved HBM traffic is smaller than that overlap. Kept as
+    # a measured opt-in (same disposition pattern as
+    # FusedConvPool2D.use_pallas).
 
     @nn.compact
     def __call__(self, x):
@@ -249,11 +260,41 @@ class ConvLSTM2D(nn.Module):
             h_new = (r_act(o) * act(c_new.astype(gd))).astype(c.dtype)
             return h_new, c_new
 
-        def step(carry, zx):
-            h, c = carry
-            zh = conv(h, Wh)
-            h_new, c_new = gates(zx + zh + bias[..., :, None, None], c)
-            return (h_new, c_new), h_new
+        impl = "xla" if self.gate_impl == "auto" else self.gate_impl
+        if impl == "pallas" and not (
+            self.spatial is None
+            and isinstance(self.activation, str)
+            and isinstance(self.recurrent_activation, str)
+        ):
+            raise ValueError(
+                "gate_impl='pallas' requires named activations and no "
+                "spatial sharding (the kernel is per-device)"
+            )
+
+        if impl == "pallas":
+            from dlwp_tpu.ops.lstm_gates import fused_lstm_gates
+
+            # Bias folds into the batched input-conv epilogue (free in
+            # XLA) so the kernel never broadcasts a 1-D operand (Mosaic
+            # cannot lower vector<4F> -> vector<4Fx1x1>).
+            zx_all = zx_all + bias[..., :, None, None]
+
+            def step(carry, zx):
+                h, c = carry
+                zh = conv(h, Wh)
+                h_new, c_new = fused_lstm_gates(
+                    zx, zh, c, self.activation,
+                    self.recurrent_activation, gd,
+                )
+                return (h_new, c_new), h_new
+        else:
+            def step(carry, zx):
+                h, c = carry
+                zh = conv(h, Wh)
+                h_new, c_new = gates(
+                    zx + zh + bias[..., :, None, None], c
+                )
+                return (h_new, c_new), h_new
 
         # Scan over time: move T to the front.
         zxs = jnp.moveaxis(zx_all, 1, 0)
@@ -262,7 +303,10 @@ class ConvLSTM2D(nn.Module):
         # one full-resolution recurrent conv from the graph (the scan body
         # is compiled once and cannot exploit h0 = 0; measured 896 us per
         # h-conv at batch 64 on v5e, BASELINE.md).
-        z0 = zxs[0] + bias[..., :, None, None]
+        z0 = (
+            zxs[0] if impl == "pallas"  # bias already folded in
+            else zxs[0] + bias[..., :, None, None]
+        )
         if gd is not None:
             z0 = z0.astype(gd)
         i0, _, g0, o0 = jnp.split(z0, 4, axis=-3)

@@ -163,3 +163,91 @@ class TestConvPoolFormulations:
         np.testing.assert_allclose(
             np.asarray(skip), np.asarray(full[:, 3:]), atol=2e-6
         )
+
+
+class TestFusedLSTMGates:
+    """Oracle tests for the one-pass gate-chain kernel (interpret mode on
+    CPU; ops/lstm_gates.py)."""
+
+    def _operands(self, B=3, F=5, H=9, W=17, seed=0):
+        rng = np.random.RandomState(seed)
+        return (
+            jnp.asarray(rng.randn(B, 4 * F, H, W), jnp.float32),
+            jnp.asarray(rng.randn(B, 4 * F, H, W), jnp.float32),
+            jnp.asarray(rng.randn(B, F, H, W), jnp.float32),
+        )
+
+    def test_matches_reference_all_activations(self):
+        from dlwp_tpu.ops.lstm_gates import (
+            fused_lstm_gates, lstm_gates_reference,
+        )
+
+        zx, zh, c = self._operands()
+        for ra in ("hard_sigmoid", "sigmoid"):
+            for gd in (None, jnp.bfloat16):
+                h1, c1 = fused_lstm_gates(zx, zh, c, "tanh", ra, gd)
+                h2, c2 = lstm_gates_reference(
+                    zx, zh, c, "tanh", ra, gd
+                )
+                tol = 5e-2 if gd is not None else 5e-6
+                np.testing.assert_allclose(
+                    np.asarray(h1), np.asarray(h2), atol=tol
+                )
+                np.testing.assert_allclose(
+                    np.asarray(c1), np.asarray(c2), atol=tol
+                )
+
+    def test_gradients_match_reference(self):
+        from dlwp_tpu.ops.lstm_gates import (
+            fused_lstm_gates, lstm_gates_reference,
+        )
+
+        zx, zh, c = self._operands(B=2, F=3, H=6, W=8)
+
+        def loss(fn):
+            def g(*ops):
+                h, cn = fn(*ops, "tanh", "hard_sigmoid", None)
+                return jnp.sum(h**2) + jnp.sum(jnp.tanh(cn))
+
+            return g
+
+        g1 = jax.grad(loss(fused_lstm_gates), argnums=(0, 1, 2))(
+            zx, zh, c
+        )
+        g2 = jax.grad(loss(lstm_gates_reference), argnums=(0, 1, 2))(
+            zx, zh, c
+        )
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+    def test_convlstm_layer_pallas_path_matches_xla(self):
+        """Full ConvLSTM2D forward with gate_impl='pallas' (interpret on
+        CPU) vs the default XLA formulation."""
+        from dlwp_tpu.models.layers import ConvLSTM2D
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 3, 4, 10, 16), jnp.float32)
+        kw = dict(features=6, kernel_size=3, dilation=2,
+                  return_sequences=True)
+        ref_layer = ConvLSTM2D(gate_impl="xla", **kw)
+        pal_layer = ConvLSTM2D(gate_impl="pallas", **kw)
+        params = ref_layer.init(jax.random.PRNGKey(0), x)
+        y_ref = ref_layer.apply(params, x)
+        y_pal = pal_layer.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), atol=5e-6
+        )
+        # and gradients through the layer
+        gfun = lambda layer: jax.grad(
+            lambda p: jnp.sum(layer.apply(p, x) ** 2)
+        )(params)
+        g_ref, g_pal = gfun(ref_layer), gfun(pal_layer)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref),
+            jax.tree_util.tree_leaves(g_pal),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
