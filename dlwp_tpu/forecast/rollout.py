@@ -31,6 +31,11 @@ from dlwp_tpu.grid.insolation import (
 )
 
 SOL_CHANNEL = "SOL"  # reference name for the insolation channel (extensions.py:127)
+# Rollouts precompute the whole (steps, B, in_ts, H, W) insolation forcing
+# outside the scan when it fits this many bytes (measured ~3x cheaper per
+# step than the in-scan contraction, BASELINE.md round 4); above it the
+# forcing is computed per step inside the scan.
+SOL_PRECOMPUTE_BUDGET = 1 << 30  # 1 GiB
 
 
 @dataclasses.dataclass
@@ -189,46 +194,82 @@ class TimeSeriesEstimator:
             pred = apply_fn(params, inp)
             return pred.reshape(B, out_ts, n_out, H, W)
 
-        def build_next(x, pred, it, init_days, mean_state):
+        needs_sol = any(kind == "sol" for kind, _ in sources)
+
+        def step_sol(x, it, init_days):
+            """Per-step next-window insolation (B, in_ts, H, W) from the
+            factored tables."""
             B = x.shape[0]
             # Day-of-year of next-window slot m, relative to the init time
             # (the last input step of window 0): raw offset
             # (it+1)*adv + m - (in_ts - 1).
             m_idx = jnp.arange(in_ts, dtype=x.dtype)
-            offs = ((it + 1.0) * adv + m_idx - (in_ts - 1.0)) * (dt_hours / 24.0)
+            offs = (
+                ((it + 1.0) * adv + m_idx - (in_ts - 1.0)) * (dt_hours / 24.0)
+            )
             days = init_days[:, None] + offs[None, :]  # (B, in_ts)
-            sol = None
-            slots = []
+            return insolation_from_tables(
+                days.reshape(-1), sol_tables
+            ).reshape(B, in_ts, H, W)
+
+        def build_next(x, pred, sol, mean_state):
+            B = x.shape[0]
+            # Flat channel-major assembly: ONE stack materializes x_next
+            # (prefix-timed on v5e: the slot-stack-of-channel-stacks form
+            # cost ~66 us/step extra at the headline configuration,
+            # BASELINE.md round 4).
+            flat = []
             for m, (j, prev) in enumerate(slot_plan):
-                channels = []
                 for c, (kind, idx) in enumerate(sources):
                     if kind == "sol":
-                        if sol is None:
-                            sol = insolation_from_tables(
-                                days.reshape(-1), sol_tables
-                            ).reshape(B, in_ts, H, W)
-                        channels.append(sol[:, m])
+                        flat.append(sol[:, m])
                     elif kind == "pred" and j is not None:
-                        channels.append(pred[:, j, idx])
+                        flat.append(pred[:, j, idx])
                     elif prev is not None:
-                        channels.append(x[:, prev, c])
+                        flat.append(x[:, prev, c])
                     else:
-                        channels.append(
+                        flat.append(
                             jnp.broadcast_to(mean_state[c], (B, H, W))
                         )
-                slots.append(jnp.stack(channels, axis=1))  # (B, C_in, H, W)
-            return jnp.stack(slots, axis=1).astype(x.dtype)
+            return (
+                jnp.stack(flat, axis=1)
+                .reshape(B, in_ts, C_in, H, W)
+                .astype(x.dtype)
+            )
+
+        # Insolation placement: the per-step factored contraction costs
+        # ~50 us/step at the headline configuration; precomputing the
+        # whole (steps, B, in_ts, H, W) forcing outside the scan and
+        # feeding it as a scan input costs one HBM read of the slice
+        # (~15 us/step measured) instead. Gate on memory so huge step
+        # counts / batches fall back to in-scan compute.
+        sol_budget = SOL_PRECOMPUTE_BUDGET
 
         @jax.jit
         def rollout(x0, init_days, mean_state):
-            def scan_body(x, it):
+            B = x0.shape[0]
+            its = jnp.arange(steps, dtype=x0.dtype)
+            precompute = (
+                needs_sol
+                and steps * B * in_ts * H * W * 4 <= sol_budget
+            )
+            if precompute:
+                sol_all = jax.vmap(
+                    lambda it: step_sol(x0, it, init_days)
+                )(its)
+                xs = (its, sol_all)
+            else:
+                xs = (its, None)
+
+            def scan_body(x, inp):
+                it, sol = inp
                 pred = model_step(x)
-                x_next = build_next(x, pred, it, init_days, mean_state)
+                if needs_sol and sol is None:
+                    sol = step_sol(x, it, init_days)
+                x_next = build_next(x, pred, sol, mean_state)
                 return x_next, pred
 
-            _, preds = jax.lax.scan(
-                scan_body, x0, jnp.arange(steps, dtype=x0.dtype)
-            )
+            _, preds = jax.lax.scan(scan_body, x0, xs)
             return preds  # (steps, B, out_ts, C_out, H, W)
 
         return rollout

@@ -111,6 +111,37 @@ class TestTimeSeriesEstimator:
         big = est.predict(3, samples=samples, init_batch_size=64)
         np.testing.assert_array_equal(full.values, big.values)
 
+    def test_insolation_precompute_matches_in_scan(self):
+        """The memory-gated precomputed insolation scan input must produce
+        the same rollout as the in-scan per-step contraction."""
+        import dlwp_tpu.forecast.rollout as R
+
+        ds = make_series(n=40)
+        model = DLWPNeuralNet(time_dim=2, scaler_type=None)
+        sampler = SeriesSampler(
+            ds, model=model, input_time_steps=2, output_time_steps=2,
+            add_insolation=True, batch_size=8,
+        )
+        c_out = sampler.output_convolution_shape[0]
+        model.build_model(
+            [("CyclicConv2D", (8, 3), {"activation": "tanh"}),
+             ("CyclicConv2D", (c_out, 3), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        est = TimeSeriesEstimator(model, sampler)
+        pre = est.predict(4, samples=[0, 1, 2])
+        saved = R.SOL_PRECOMPUTE_BUDGET
+        R.SOL_PRECOMPUTE_BUDGET = 0  # force the in-scan path
+        try:
+            ins = est.predict(4, samples=[0, 1, 2])
+        finally:
+            R.SOL_PRECOMPUTE_BUDGET = saved
+        np.testing.assert_allclose(
+            np.asarray(pre.values), np.asarray(ins.values),
+            rtol=1e-6, atol=1e-6,
+        )
+
     def test_rollout_matches_manual_loop(self):
         """Whole-state matched-I/O rollout must equal repeated predict."""
         ds = make_series(n=30)
