@@ -112,7 +112,38 @@ def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3,
         times.append(time.perf_counter() - t0)
     elapsed = min(times) / pipeline
     gps = batch * steps * nlat * nlon / elapsed
+
+    # Secondary diagnostic: the two-point step-count slope (dispatch-floor-
+    # free device rate; the pipelined figure above is the end-to-end
+    # serving number). The tunnel's claim-level throughput drifts ~+-8%
+    # between sessions (BASELINE.md round 4), so recording both
+    # disambiguates code regressions from hardware state.
+    product_rollout3 = est.rollout_fn(3 * steps)
+
+    @jax.jit
+    def rollout3(x, days, ms):
+        preds = product_rollout3(x, days, ms)
+        return jnp.mean(preds), preds[-1, :, 0, 0]
+
+    jax.block_until_ready(rollout3(x0, init_days, mean_state))
+    t1 = min(_timed(rollout, x0, init_days, mean_state) for _ in range(3))
+    t3 = min(_timed(rollout3, x0, init_days, mean_state) for _ in range(3))
+    per_step = max(t3 - t1, 1e-9) / (2 * steps)
+    print(
+        f"headline slope device rate: "
+        f"{batch * nlat * nlon / per_step / 1e6:.1f} Mgp/s",
+        file=sys.stderr, flush=True,
+    )
     return gps, elapsed
+
+
+def _timed(fn, *args):
+    import jax
+    import time as _t
+
+    t0 = _t.perf_counter()
+    jax.block_until_ready(fn(*args))
+    return _t.perf_counter() - t0
 
 
 def bench_convlstm_rollout(batch=64, steps=32, nlat=36, nlon=144, repeats=3,
