@@ -1,26 +1,42 @@
-"""Minimal repro for the round-3 TPU worker fault at first validation eval.
+"""Minimal repro for the round-3/4 TPU worker fault at validation eval.
 
-Round-3's paper-run attempt (canonical ConvLSTM + joint sequence loss,
-examples/train_convlstm.py) crashed the remote TPU worker deterministically
-the first time `Trainer.evaluate` ran -- i.e. on the FORWARD-ONLY
-sequence-loss program -- while the fwd+bwd+Adam train step ran fine. This
-probe isolates that: it builds the exact paper-run model/shapes, runs one
-train step (expected OK), then one eval step (the suspected fault), then
-the candidate workarounds, printing a marker between stages so the fault
-point is unambiguous even when the process dies.
+The canonical ConvLSTM + joint sequence loss (examples/train_convlstm.py)
+faults the remote TPU worker deterministically on the FORWARD-ONLY
+sequence-loss program (UNAVAILABLE: "TPU device error -- often a kernel
+fault"), while the fwd+bwd+Adam train step of the SAME loss runs fine
+(round-4 session, confirming the round-3 paper-run crash).
 
-Stages (each preceded by a flushed marker):
-  1. train_step        -- fwd+bwd+Adam, known good
-  2. eval_step         -- forward-only sequence loss (the round-3 crash)
-  3. eval_grad         -- same loss under value_and_grad, grads discarded
-                          (program shape closer to the train step)
-  4. eval_chunked      -- eval_step at batch 8 instead of 32
+Each stage runs in its OWN process (a device fault poisons the client, so
+in-process stage sequences only prove the first failure):
 
-Run on TPU; do NOT override PYTHONPATH. A worker fault typically surfaces
-as a tunnel-level error or a dead client, so run under `timeout` in a
-detached shell.
+    for s in 1 2 3 4 5 6 7 8; do
+        timeout 1800 python benchmarks/probes/repro_eval_fault.py --stage $s
+    done
+
+  1 train        fwd+bwd+Adam sequence loss          (control; OK)
+  2 eval         forward-only sequence loss          (the repro)
+  3 eval_grad    same loss under value_and_grad, grads discarded
+  4 eval_b8      stage 2 at batch 8
+  5 apply        model.apply forward only, no loss
+  6 eval_s1      forward-only SINGLE-window loss (no sequence scan)
+  7 eval_noremat forward-only sequence loss without jax.checkpoint
+  8 eval_mse     stage 2 with plain MSE loss (no latitude weighting)
+  9 eval_outer   forward-only scan of apply+splice, lat-weighted loss
+                 computed OUTSIDE the scan (Trainer eval_impl='outer')
+
+Round-4 results (each its own process; compile seconds in parens):
+  1 OK(15s)  2 FAULT  3 OK(106s)  4 OK(277s, B=8)  5 OK(654s)
+  6 OK(1146s)  7 FAULT  8 OK(1338s)
+  -> trigger = lat-WEIGHTED loss reduction INSIDE a forward-only
+  sequence scan at batch 32 (plain MSE inside: OK; B=8: OK; loss
+  outside the scan: OK; under value_and_grad: OK; remat irrelevant).
+  Also note: forward-only programs compile 5-90x slower than the
+  fwd+bwd train step through this stack (654-1338 s vs 15 s).
+
+Run on TPU with PYTHONPATH=/root/repo:/root/.axon_site.
 """
 
+import argparse
 import sys
 import time
 
@@ -31,17 +47,15 @@ def marker(msg):
     print(f"=== {msg}", flush=True)
 
 
-def main():
-    import jax
+def build(seq=2):
     import jax.numpy as jnp
     import optax
 
     from dlwp_tpu.data import PredictorDataset, SeriesSampler
     from dlwp_tpu.models import DLWPNeuralNet
+    from dlwp_tpu.ops.losses import latitude_weighted_loss, mse
 
-    marker(f"devices: {jax.devices()}")
-
-    B, td, seq = 32, 2, 2
+    B, td = 32, 2
     nlat, nlon, c = 72, 144, 2
     n = 400
     rng = np.random.RandomState(0)
@@ -59,7 +73,8 @@ def main():
                          time_dim=td, scaler_type=None)
     sampler = SeriesSampler(
         data, model=dlwp, input_time_steps=td, output_time_steps=td,
-        sequence=seq, add_insolation=True, batch_size=B, shuffle=False,
+        sequence=seq if seq > 1 else None, add_insolation=True,
+        batch_size=B, shuffle=False,
     )
     T, C, H, W = sampler.convolution_shape
     out_t, out_c = sampler.output_convolution_shape[:2]
@@ -77,73 +92,123 @@ def main():
         ("Reshape", ((out_t, out_c, H, W),), None),
     ]
 
-    def splice_fn(inp, pred, k):
-        return jnp.concatenate([pred, inp[:, :, out_c:]], axis=2)
-
-    from dlwp_tpu.ops.losses import latitude_weighted_loss, mse
+    splice_fn = None
+    if seq > 1:
+        def splice_fn(inp, pred, k):  # persist the SOL forcing channel
+            return jnp.concatenate([pred, inp[:, :, out_c:]], axis=2)
 
     dlwp.build_model(
         specs, loss=latitude_weighted_loss(mse, data.lat),
-        optimizer=optax.adam(2e-3), sequence_steps=seq, splice_fn=splice_fn,
+        optimizer=optax.adam(2e-3), sequence_steps=seq,
+        splice_fn=splice_fn,
     )
     tr = dlwp.trainer
     xb, yb = sampler[0]
     xb, yb = jnp.asarray(xb), jnp.asarray(yb)
     tr.init(xb)
-    marker(f"built; batch shapes {xb.shape} {yb.shape}")
+    return tr, xb, yb
 
-    # --- 1. train step (known good) ---------------------------------------
-    marker("stage 1: train_step compile+run")
-    t0 = time.time()
-    tr.params, tr.opt_state, m = tr._jit_train_step(
-        tr.params, tr.opt_state, xb, yb
-    )  # donated buffers: reassign like Trainer.fit does
-    jax.block_until_ready(m["loss"])
-    marker(f"stage 1 OK loss={float(m['loss']):.5f} ({time.time()-t0:.0f}s)")
 
-    # --- 2. forward-only eval step (the round-3 crash point) --------------
-    marker("stage 2: eval_step compile+run")
+def run_stage(stage):
+    import jax
+    import jax.numpy as jnp
+
+    marker(f"devices: {jax.devices()}")
     t0 = time.time()
+
+    if stage == 6:
+        tr, xb, yb = build(seq=1)
+    else:
+        tr, xb, yb = build(seq=2)
+    marker(f"built; shapes {xb.shape} {yb.shape}")
+
+    if stage == 1:
+        tr.params, tr.opt_state, m = tr._jit_train_step(
+            tr.params, tr.opt_state, xb, yb
+        )
+        out = m["loss"]
+    elif stage in (2, 6):
+        out = tr._jit_eval_step(tr.params, xb, yb)["loss"]
+    elif stage == 3:
+        @jax.jit
+        def eval_grad(params, x, y):
+            (loss, _), _ = jax.value_and_grad(
+                lambda p: tr._forward_loss(p, x, y), has_aux=True
+            )(params)
+            return loss
+
+        out = eval_grad(tr.params, xb, yb)
+    elif stage == 4:
+        out = tr._jit_eval_step(tr.params, xb[:8], yb[:8])["loss"]
+    elif stage == 5:
+        @jax.jit
+        def apply_only(params, x):
+            return jnp.mean(tr.model.apply(params, x))
+
+        out = apply_only(tr.params, xb)
+    elif stage == 7:
+        S = tr.config.sequence_steps
+        splice = tr.splice_fn
+
+        @jax.jit
+        def eval_noremat(params, x, y):
+            def body(inp, k_and_y):
+                k, y_k = k_and_y
+                pred = tr.model.apply(params, inp)  # no jax.checkpoint
+                return splice(inp, pred, k), tr.loss_fn(y_k, pred)
+
+            ks = jnp.arange(S)
+            _, losses = jax.lax.scan(
+                body, x, (ks, jnp.moveaxis(y, 1, 0))
+            )
+            return jnp.mean(losses)
+
+        out = eval_noremat(tr.params, xb, yb)
+    elif stage == 8:
+        S = tr.config.sequence_steps
+        splice = tr.splice_fn
+
+        @jax.jit
+        def eval_mse(params, x, y):
+            def body(inp, k_and_y):
+                k, y_k = k_and_y
+                pred = jax.checkpoint(
+                    lambda i: tr.model.apply(params, i)
+                )(inp)
+                return splice(inp, pred, k), jnp.mean((y_k - pred) ** 2)
+
+            ks = jnp.arange(S)
+            _, losses = jax.lax.scan(
+                body, x, (ks, jnp.moveaxis(y, 1, 0))
+            )
+            return jnp.mean(losses)
+
+        out = eval_mse(tr.params, xb, yb)
+    elif stage == 9:
+        import jax as _jax
+
+        out = _jax.jit(
+            lambda p, x, y: tr._forward_loss_outer(p, x, y)[0]
+        )(tr.params, xb, yb)
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+
+    jax.block_until_ready(out)
+    val = float(np.asarray(out).ravel()[0])
+    marker(f"stage {stage} OK value={val:.5f} ({time.time()-t0:.0f}s)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", type=int, required=True)
+    args = p.parse_args()
     try:
-        m = tr._jit_eval_step(tr.params, xb, yb)
-        jax.block_until_ready(m["loss"])
-        marker(f"stage 2 OK loss={float(m['loss']):.5f} "
-               f"({time.time()-t0:.0f}s)")
+        run_stage(args.stage)
     except Exception as e:
-        marker(f"stage 2 FAILED: {type(e).__name__}: {e}")
-
-    # --- 3. eval via value_and_grad, grads discarded -----------------------
-    marker("stage 3: eval under value_and_grad")
-    import jax as _jax
-
-    @_jax.jit
-    def eval_grad(params, x, y):
-        (loss, _), _ = _jax.value_and_grad(
-            lambda p: tr._forward_loss(p, x, y), has_aux=True
-        )(params)
-        return loss
-
-    t0 = time.time()
-    try:
-        v = eval_grad(tr.params, xb, yb)
-        jax.block_until_ready(v)
-        marker(f"stage 3 OK loss={float(v):.5f} ({time.time()-t0:.0f}s)")
-    except Exception as e:
-        marker(f"stage 3 FAILED: {type(e).__name__}: {e}")
-
-    # --- 4. chunked eval ----------------------------------------------------
-    marker("stage 4: eval_step at batch 8")
-    t0 = time.time()
-    try:
-        m = tr._jit_eval_step(tr.params, xb[:8], yb[:8])
-        jax.block_until_ready(m["loss"])
-        marker(f"stage 4 OK loss={float(m['loss']):.5f} "
-               f"({time.time()-t0:.0f}s)")
-    except Exception as e:
-        marker(f"stage 4 FAILED: {type(e).__name__}: {e}")
-
-    marker("done")
+        marker(f"stage {args.stage} FAILED: {type(e).__name__}: "
+               f"{str(e)[:160]}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

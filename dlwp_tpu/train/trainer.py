@@ -86,6 +86,18 @@ class TrainConfig:
     restore_best_weights: bool = True
     # Multi-step sequence training (reference DLWPFunctional):
     sequence_steps: int = 1
+    # Validation-eval program form: 'forward' compiles the loss forward-
+    # only as trained (loss inside the sequence scan); 'outer' moves the
+    # per-step loss outside the scan over the stacked predictions (same
+    # value, slightly more HBM); 'grad' computes it under value_and_grad
+    # and discards the gradients (~3x the FLOPs). The alternatives exist
+    # because the forward-only lowering of a sequence scan with a
+    # WEIGHTED loss reduction inside deterministically faults the v5e
+    # worker through the remote-PJRT stack, while the same loss outside
+    # the scan, plain-MSE inside, value_and_grad form, and the train
+    # step itself all run fine (benchmarks/probes/repro_eval_fault.py
+    # bisect, BASELINE.md r4).
+    eval_impl: str = "forward"
     seed: int = 0
 
 
@@ -252,8 +264,41 @@ class Trainer:
             out[name] = fn(y, pred)
         return params, opt_state, out
 
+    def _forward_loss_outer(self, params, x, y):
+        """Sequence loss with the per-step loss computed OUTSIDE the scan
+        over the stacked predictions (same value as ``_forward_loss``; the
+        scan body is apply+splice only). This is the forward-only program
+        shape that avoids the v5e fault (see TrainConfig.eval_impl): the
+        fault bisects to the *weighted loss reduction inside* a
+        forward-only scan (repro_eval_fault.py stages 7 vs 8/9)."""
+        S = self.config.sequence_steps
+        if S == 1:
+            pred = self.model.apply(params, x)
+            return self.loss_fn(y, pred), pred
+        splice = self.splice_fn or (lambda inp, pred, k: pred)
+
+        def body(inp, k):
+            pred = self.model.apply(params, inp)
+            return splice(inp, pred, k), pred
+
+        _, preds = jax.lax.scan(body, x, jnp.arange(S))
+        y_steps = jnp.moveaxis(y, 1, 0)
+        losses = jax.vmap(self.loss_fn)(y_steps, preds)
+        return jnp.mean(losses), jnp.moveaxis(preds, 0, 1)
+
     def _eval_step(self, params, x, y):
-        loss, pred = self._forward_loss(params, x, y)
+        impl = self.config.eval_impl
+        if impl == "grad":
+            # Same loss under value_and_grad, gradients discarded: the
+            # program shape that is known-good on hardware where the
+            # forward-only sequence-scan lowering faults (see TrainConfig).
+            (loss, pred), _ = jax.value_and_grad(
+                lambda p: self._forward_loss(p, x, y), has_aux=True
+            )(params)
+        elif impl == "outer":
+            loss, pred = self._forward_loss_outer(params, x, y)
+        else:
+            loss, pred = self._forward_loss(params, x, y)
         out = {"loss": loss}
         for name, fn in self.metrics.items():
             out[name] = fn(y, pred)

@@ -67,6 +67,17 @@ def main(argv=None):
                    help="hold the tail out of training but skip the "
                         "per-epoch evaluation pass (validate separately "
                         "with examples/validate.py)")
+    p.add_argument("--eval-impl", default="auto",
+                   choices=["auto", "forward", "outer", "grad"],
+                   help="validation-eval program form: the forward-only "
+                        "sequence-loss scan (weighted loss inside) "
+                        "faults v5e workers through remote PJRT "
+                        "(repro_eval_fault.py bisect), so 'auto' picks "
+                        "'grad' (value_and_grad, gradients discarded; "
+                        "fast compile) for sequence training on TPU and "
+                        "'forward' elsewhere. 'outer' (loss outside the "
+                        "scan) is the cheapest safe form per epoch but "
+                        "compiles ~20 min cold through the tunnel")
     p.add_argument("--min-epochs", type=int, default=0)
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--loss", default="mse", choices=["mse", "lat_mse"])
@@ -175,12 +186,21 @@ def main(argv=None):
     else:
         optimizer = "adam"
 
+    eval_impl = args.eval_impl
+    if eval_impl == "auto":
+        import jax
+
+        eval_impl = (
+            "grad"
+            if args.sequence > 1 and jax.default_backend() == "tpu"
+            else "forward"
+        )
     dlwp.build_model(
         specs, loss=loss, optimizer=optimizer,
         learning_rate=args.learning_rate,
         sequence_steps=args.sequence, splice_fn=splice_fn,
         early_stopping=args.patience > 0, min_epochs=args.min_epochs,
-        patience=args.patience, seed=args.seed,
+        patience=args.patience, seed=args.seed, eval_impl=eval_impl,
     )
     if args.device_resident:
         from dlwp_tpu.data import DeviceSeriesSampler

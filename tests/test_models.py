@@ -238,6 +238,36 @@ class TestTrainer:
         hist = tr.fit(x=x, y=y, verbose=False)
         assert hist.history["loss"][-1] < 0.5 * hist.history["loss"][0]
 
+    def test_eval_impl_grad_matches_forward(self):
+        """eval_impl='grad' (the TPU sequence-eval workaround,
+        repro_eval_fault.py bisect) must return the same metrics as the
+        forward-only program."""
+        def mk(eval_impl):
+            model = build_sequential(
+                [("CyclicConv2D", (4, 3), {"activation": "tanh"}),
+                 ("CyclicConv2D", (1, 3), {})]
+            )
+            tr = Trainer(model, TrainConfig(
+                loss="mse", sequence_steps=2, eval_impl=eval_impl,
+            ))
+            return tr
+
+        x = np.asarray(rand(8, 1, 6, 12))
+        y = np.stack(
+            [np.roll(x, 1, axis=-1), np.roll(x, 2, axis=-1)], axis=1
+        )
+        tr_f, tr_g, tr_o = mk("forward"), mk("grad"), mk("outer")
+        tr_f.init(jnp.asarray(x))
+        for other in (tr_g, tr_o):
+            other.params = tr_f.params  # identical weights
+            other.opt_state = tr_f.opt_state
+        m_f = tr_f.evaluate((x, y))
+        for other in (tr_g, tr_o):
+            m_o = other.evaluate((x, y))
+            assert m_f.keys() == m_o.keys()
+            for k in m_f:
+                np.testing.assert_allclose(m_f[k], m_o[k], rtol=1e-5)
+
     def test_generator_input(self):
         model = build_sequential([("CyclicConv2D", (1, 1), {})])
 
