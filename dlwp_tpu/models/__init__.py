@@ -14,6 +14,7 @@ from dlwp_tpu.models.layers import (
 from dlwp_tpu.models.cnn import SequentialModel, build_sequential, LAYER_REGISTRY
 from dlwp_tpu.models.api import DLWPNeuralNet, DLWPFunctional, shape_series
 from dlwp_tpu.models.unet import SkipTower, SliceChannels
+from dlwp_tpu.models.spherical import S2Convolution, SO3Convolution
 
 __all__ = [
     "CyclicConv2D",
@@ -33,4 +34,6 @@ __all__ = [
     "shape_series",
     "SkipTower",
     "SliceChannels",
+    "S2Convolution",
+    "SO3Convolution",
 ]

@@ -298,6 +298,44 @@ LAYER_REGISTRY: dict[str, Callable[..., nn.Module]] = {
 }
 
 
+def _s2conv(name):
+    # Reference spec tuples (train_torch.py:103-110): positional
+    # (nfeature_in, nfeature_out, b_in, b_out, grid), kwargs mean_gamma /
+    # activation. Resolved lazily so the spectral stack only imports when
+    # spherical layers are actually used.
+    def build(*args, **kw):
+        from dlwp_tpu.models import spherical as S
+
+        return getattr(S, name)(*args, **kw)
+
+    return build
+
+
+def _torch_linear(*args, **kw):
+    # torch.nn.Linear spec (in_features, out_features) as used by
+    # train_torch.py:112; in_features is implied by the input here.
+    if len(args) >= 2:
+        return Dense(features=args[1], **kw)
+    return Dense(features=kw.pop("out_features", args[0] if args else kw.pop("features")), **kw)
+
+
+def _torch_reshape(*args, **kw):
+    # Reference TorchReshape takes the FULL shape including the batch -1
+    # (models_torch.py usage, train_torch.py:111); Keras/our Reshape takes
+    # trailing dims only.
+    shape = args[0] if args else kw["shape"]
+    shape = tuple(shape)
+    if shape and shape[0] == -1:
+        shape = shape[1:]
+    return Reshape(shape=shape)
+
+
+LAYER_REGISTRY["S2Convolution"] = _s2conv("S2Convolution")
+LAYER_REGISTRY["SO3Convolution"] = _s2conv("SO3Convolution")
+LAYER_REGISTRY["Linear"] = _torch_linear
+LAYER_REGISTRY["TorchReshape"] = _torch_reshape
+
+
 def _fused_layer(name):
     def build(*args, **kw):
         from dlwp_tpu.models import layers as L

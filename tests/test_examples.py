@@ -47,6 +47,17 @@ class TestExampleWorkflows:
         assert "saved model" in out
         assert os.path.exists(tmp_path / "m.pkl")
 
+    def test_train_spherical(self, tmp_path):
+        # The s2cnn-equivalent workflow (reference examples/train_torch.py).
+        out = run_example(
+            "train_spherical.py", "--epochs", "1", "--batch-size", "16",
+            "--truncation", "6", "--features", "4",
+            "--model-file", str(tmp_path / "s"),
+        )
+        assert "saved model" in out
+        assert "prediction shape: (16, 4, 37, 72)" in out
+        assert os.path.exists(tmp_path / "s.pkl")
+
     def test_run_barotropic(self, tmp_path):
         out = run_example(
             "run_barotropic.py", "--n-init", "1", "--hours", "12",
