@@ -1,0 +1,95 @@
+"""Spectral spherical-conv (s2cnn-equivalent) throughput on TPU.
+
+The new ``S2Convolution`` (models/spherical.py) is three MXU contractions
+(analysis matmuls, per-degree channel einsum, synthesis matmuls). This
+measures the reference train_torch.py architecture (two spherical layers +
+linear read-out, train_torch.py:100-114) and the layers in isolation, at
+the reference 2.5-degree grid (73x144, b_in=36) and at a production
+0.5-degree-like width, against the only baseline that exists for this path:
+s2cnn is a CUDA library the reference calls "yet to produce good results"
+(README.md:75) and publishes no numbers for -- so the rows here are the
+recorded TPU facts, not a comparison.
+
+Timing: in-graph scan over applications (dispatch floor amortized), min of
+3 repeats. Run on TPU; do NOT override PYTHONPATH.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_tpu.models import build_sequential
+from dlwp_tpu.models.spherical import S2Convolution, s2_near_identity_grid
+
+
+def timed_apply(fn, steps=10, repeats=3):
+    def body(c, _):
+        y = fn(c)
+        return 1.0 + 0.0 * y.ravel()[0], ()
+
+    @jax.jit
+    def loop():
+        c, _ = lax.scan(body, jnp.float32(1.0), None, length=steps)
+        return c
+
+    jax.block_until_ready(loop())
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
+def stack(c_in, c_out, nlat, nlon, b_in, trunc, feat):
+    grid = s2_near_identity_grid()
+    n_features = c_out * nlat * nlon
+    return build_sequential([
+        ("S2Convolution", (c_in, feat, b_in, trunc, grid),
+         {"mean_gamma": True, "activation": "tanh"}),
+        ("S2Convolution", (feat, feat, trunc, trunc, grid),
+         {"mean_gamma": True, "activation": "tanh"}),
+        ("TorchReshape", ((-1, feat * (2 * trunc) ** 2),), None),
+        ("Linear", (feat * (2 * trunc) ** 2, n_features), None),
+        ("TorchReshape", ((-1, c_out, nlat, nlon),), None),
+    ])
+
+
+def main():
+    rng = np.random.RandomState(0)
+    rows = []
+
+    # Reference configuration: 73x144 (2.5 deg), b_in=36, T=12, 16 feat
+    # (train_torch.py:101-110), batch 64.
+    for label, B, nlat, nlon, b_in, trunc, feat in (
+        ("ref 2.5deg stack (73x144, b36->12, f16)", 64, 73, 144, 36, 12, 16),
+    ):
+        model = stack(3, 3, nlat, nlon, b_in, trunc, feat)
+        x = jnp.asarray(rng.randn(B, 3, nlat, nlon), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        dt = timed_apply(lambda c: model.apply(params, x * c))
+        gps = B * nlat * nlon / dt / 1e6
+        rows.append((label, dt * 1e6, gps))
+        print(f"{label}: {dt*1e6:.0f} us/apply, {gps:.1f} Mgp/s", flush=True)
+
+    # Isolated layers (no read-out): keep_shape at the data grid, and the
+    # production 0.5-degree-like width (the Linear read-out does not scale
+    # there -- a b90 stack would need a 14G-parameter read-out, so wide
+    # models would pair the spherical front end with a conv head instead).
+    for label, B, C, nlat, nlon, b in (
+        ("single S2Conv 16ch b36 keep_shape (73x144, B=64)", 64, 16, 73, 144, 36),
+        ("single S2Conv 16ch b90 keep_shape (180x720, B=16)", 16, 16, 180, 720, 90),
+    ):
+        layer = S2Convolution(C, C, b, b, None, keep_shape=True)
+        x = jnp.asarray(rng.randn(B, C, nlat, nlon), jnp.float32)
+        p = layer.init(jax.random.PRNGKey(0), x)
+        dt = timed_apply(lambda c: layer.apply(p, x * c))
+        print(f"{label}: {dt*1e6:.0f} us/apply, "
+              f"{B*nlat*nlon/dt/1e6:.1f} Mgp/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
