@@ -58,7 +58,40 @@ def stack(c_in, c_out, nlat, nlon, b_in, trunc, feat):
     ])
 
 
-def main():
+def timed_grad_step(model, params, x, steps=10, repeats=3):
+    """Train-step-form timing: fwd+bwd+SGD inside the scan.
+
+    Forward-only scan programs of this stack do not finish remote
+    compilation within 25 min (ROUND_NOTES.md round 4 — same pathology as
+    repro_eval_fault.py's 654-1338 s forward-only compiles vs 15 s with a
+    backward pass), so the recorded TPU row is the training step, the
+    faster-compiling program class that *contains* the apply.
+    """
+
+    def loss(p, xin):
+        return jnp.mean(model.apply(p, xin) ** 2)
+
+    def body(carry, _):
+        p, c = carry
+        l, g = jax.value_and_grad(loss)(p, x * c)
+        p = jax.tree_util.tree_map(lambda a, b: a - 1e-6 * b, p, g)
+        return (p, 1.0 + 0.0 * l), ()
+
+    @jax.jit
+    def loop(p):
+        (p, c), _ = lax.scan(body, (p, jnp.float32(1.0)), None, length=steps)
+        return c
+
+    jax.block_until_ready(loop(params))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(params))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
+def main(grad_form=False):
     rng = np.random.RandomState(0)
     rows = []
 
