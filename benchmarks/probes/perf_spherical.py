@@ -14,6 +14,7 @@ Timing: in-graph scan over applications (dispatch floor amortized), min of
 3 repeats. Run on TPU; do NOT override PYTHONPATH.
 """
 
+import argparse
 import time
 
 import numpy as np
@@ -23,6 +24,7 @@ from jax import lax
 
 from dlwp_tpu.models import build_sequential
 from dlwp_tpu.models.spherical import S2Convolution, s2_near_identity_grid
+from dlwp_tpu.utils.compile_safe import compile_forward_safe
 
 
 def timed_apply(fn, steps=10, repeats=3):
@@ -40,6 +42,34 @@ def timed_apply(fn, steps=10, repeats=3):
     for _ in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(loop())
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
+def timed_apply_safe(apply_params_fn, params, steps=10, repeats=3):
+    """Apply timing in the compile_forward_safe form: the scan body runs
+    the apply under value_and_grad-with-discarded-grads (w.r.t. params),
+    the fwd+bwd program class that compiles in seconds where the
+    forward-only scan of this stack never finishes (ROUND_NOTES round 4).
+    The reported time therefore UPPER-bounds the pure apply (it includes a
+    discarded backward pass)."""
+    safe = compile_forward_safe(apply_params_fn)
+
+    def body(carry, _):
+        p, c = carry
+        y = safe(p, c)
+        return (p, 1.0 + 0.0 * y.ravel()[0]), ()
+
+    @jax.jit
+    def loop(p):
+        (_, c), _ = lax.scan(body, (p, jnp.float32(1.0)), None, length=steps)
+        return c
+
+    jax.block_until_ready(loop(params))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(params))
         ts.append(time.perf_counter() - t0)
     return min(ts) / steps
 
@@ -91,9 +121,28 @@ def timed_grad_step(model, params, x, steps=10, repeats=3):
     return min(ts) / steps
 
 
-def main(grad_form=False):
+def _time_one(form, model, params, x, steps, repeats):
+    if form == "fwd":
+        return timed_apply(
+            lambda c: model.apply(params, x * c), steps, repeats
+        )
+    if form == "safe":
+        return timed_apply_safe(
+            lambda p, c: model.apply(p, x * c), params, steps, repeats
+        )
+    if form == "grad":
+        return timed_grad_step(model, params, x, steps, repeats)
+    raise ValueError(form)
+
+
+def main(form="safe", steps=10, repeats=3):
+    """``form``: 'fwd' = forward-only scan (known to never finish remote
+    TPU compilation for this stack — CPU only); 'safe' = apply under
+    compile_forward_safe (the recorded TPU apply row; includes a discarded
+    backward pass, so it upper-bounds the apply); 'grad' = full
+    fwd+bwd+SGD train step."""
     rng = np.random.RandomState(0)
-    rows = []
+    print(f"form={form} platform={jax.default_backend()}", flush=True)
 
     # Reference configuration: 73x144 (2.5 deg), b_in=36, T=12, 16 feat
     # (train_torch.py:101-110), batch 64.
@@ -103,10 +152,10 @@ def main(grad_form=False):
         model = stack(3, 3, nlat, nlon, b_in, trunc, feat)
         x = jnp.asarray(rng.randn(B, 3, nlat, nlon), jnp.float32)
         params = model.init(jax.random.PRNGKey(0), x)
-        dt = timed_apply(lambda c: model.apply(params, x * c))
+        dt = _time_one(form, model, params, x, steps, repeats)
         gps = B * nlat * nlon / dt / 1e6
-        rows.append((label, dt * 1e6, gps))
-        print(f"{label}: {dt*1e6:.0f} us/apply, {gps:.1f} Mgp/s", flush=True)
+        print(f"{label} [{form}]: {dt*1e6:.0f} us/step, {gps:.1f} Mgp/s",
+              flush=True)
 
     # Isolated layers (no read-out): keep_shape at the data grid, and the
     # production 0.5-degree-like width (the Linear read-out does not scale
@@ -119,10 +168,16 @@ def main(grad_form=False):
         layer = S2Convolution(C, C, b, b, None, keep_shape=True)
         x = jnp.asarray(rng.randn(B, C, nlat, nlon), jnp.float32)
         p = layer.init(jax.random.PRNGKey(0), x)
-        dt = timed_apply(lambda c: layer.apply(p, x * c))
-        print(f"{label}: {dt*1e6:.0f} us/apply, "
+        dt = _time_one(form, layer, p, x, steps, repeats)
+        print(f"{label} [{form}]: {dt*1e6:.0f} us/step, "
               f"{B*nlat*nlon/dt/1e6:.1f} Mgp/s", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--form", choices=("fwd", "safe", "grad"),
+                    default="safe")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    a = ap.parse_args()
+    main(a.form, a.steps, a.repeats)

@@ -137,7 +137,12 @@ class TimeSeriesEstimator:
         mean_state = jnp.asarray(np.asarray(x0).mean(axis=(0, 1)))
         return x0, init_days, mean_state, init_times
 
-    def rollout_fn(self, steps: int, prefer_first_times: bool = True):
+    def rollout_fn(
+        self,
+        steps: int,
+        prefer_first_times: bool = True,
+        forward_safe: bool = False,
+    ):
         """Build the jitted product rollout program.
 
         Returns ``rollout(x0, init_days, mean_state) ->
@@ -147,6 +152,14 @@ class TimeSeriesEstimator:
         channels per the static source map. This is the exact program
         :meth:`predict` executes (and what ``bench.py`` measures); all
         shapes derive from the arguments at trace time.
+
+        ``forward_safe=True`` lowers the rollout under
+        :func:`dlwp_tpu.utils.compile_forward_safe` (backward pass built and
+        discarded): the escape hatch for forward-only programs that compile
+        pathologically slowly or fault on TPU (docs/DEPLOY.md
+        "Forward-only programs on TPU"). Off by default — the standard
+        rollout compiles fine; the known-bad shape is a weighted loss
+        reduction inside a forward-only scan.
         """
         steps = int(steps)
         if steps < 1:
@@ -245,7 +258,6 @@ class TimeSeriesEstimator:
         # counts / batches fall back to in-scan compute.
         sol_budget = SOL_PRECOMPUTE_BUDGET
 
-        @jax.jit
         def rollout(x0, init_days, mean_state):
             B = x0.shape[0]
             its = jnp.arange(steps, dtype=x0.dtype)
@@ -272,7 +284,11 @@ class TimeSeriesEstimator:
             _, preds = jax.lax.scan(scan_body, x0, xs)
             return preds  # (steps, B, out_ts, C_out, H, W)
 
-        return rollout
+        if forward_safe:
+            from dlwp_tpu.utils.compile_safe import compile_forward_safe
+
+            return jax.jit(compile_forward_safe(rollout))
+        return jax.jit(rollout)
 
     def predict(
         self,

@@ -30,6 +30,7 @@ import optax
 import flax.linen as nn
 
 from dlwp_tpu.ops import losses as loss_lib
+from dlwp_tpu.utils.compile_safe import compile_forward_safe
 
 OPTIMIZERS = {
     "adam": optax.adam,
@@ -292,8 +293,10 @@ class Trainer:
             # Same loss under value_and_grad, gradients discarded: the
             # program shape that is known-good on hardware where the
             # forward-only sequence-scan lowering faults (see TrainConfig).
-            (loss, pred), _ = jax.value_and_grad(
-                lambda p: self._forward_loss(p, x, y), has_aux=True
+            # Routed through the shared compile_forward_safe wrapper so the
+            # workaround has one implementation (utils/compile_safe.py).
+            loss, pred = compile_forward_safe(
+                lambda p: self._forward_loss(p, x, y)
             )(params)
         elif impl == "outer":
             loss, pred = self._forward_loss_outer(params, x, y)

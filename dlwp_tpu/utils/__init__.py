@@ -5,9 +5,11 @@ from dlwp_tpu.utils.serialization import save_model, load_model
 from dlwp_tpu.utils.reflection import get_from_module, get_classes, get_methods
 from dlwp_tpu.utils.split import train_test_split_ind, delete_nan_samples
 from dlwp_tpu.utils.tensorboard import TensorBoardWriter
+from dlwp_tpu.utils.compile_safe import compile_forward_safe
 
 __all__ = [
     "TensorBoardWriter",
+    "compile_forward_safe",
     "StandardScaler",
     "MinMaxScaler",
     "MeanImputer",
