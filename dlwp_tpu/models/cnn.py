@@ -327,6 +327,15 @@ def _torch_reshape(*args, **kw):
     shape = tuple(shape)
     if shape and shape[0] == -1:
         shape = shape[1:]
+    elif shape:
+        # A torch view spec always leads with the batch dim; an explicit
+        # value there (e.g. (64, 3, 19, 36)) passed on to Reshape's
+        # trailing dims would silently ADD a dimension (ADVICE r4).
+        raise ValueError(
+            f"TorchReshape shape {shape} must lead with -1 (the batch "
+            f"dimension, as in the reference's torch view specs); got "
+            f"{shape[0]!r}"
+        )
     return Reshape(shape=shape)
 
 
