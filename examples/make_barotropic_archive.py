@@ -37,6 +37,18 @@ def main(argv=None):
     p.add_argument("--wave-rms", type=float, default=120.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--step-impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--truth-truncation", type=int, default=None,
+                   help="two-truth mode: integrate the generating dynamics "
+                        "at this HIGHER truncation on a finer grid and "
+                        "band-limit snapshots to --truncation on the "
+                        "archive grid, so a baseline core at --truncation "
+                        "has genuine model error (e.g. 106 for a T72 "
+                        "archive)")
+    p.add_argument("--truth-nlat", type=int, default=None,
+                   help="truth-integration grid rows (default: grid-"
+                        "spacing halving, 2*(nlat-1)+1)")
+    p.add_argument("--truth-nlon", type=int, default=None,
+                   help="truth-integration grid columns (default: 2*nlon)")
     p.add_argument("--batch-samples", type=int, default=1000)
     p.add_argument("--output-file", default="barotropic_archive.h5")
     args = p.parse_args(argv)
@@ -55,6 +67,9 @@ def main(argv=None):
         wave_rms=args.wave_rms,
         seed=args.seed,
         step_impl=args.step_impl,
+        truth_truncation=args.truth_truncation,
+        truth_nlat=args.truth_nlat,
+        truth_nlon=args.truth_nlon,
     )
     t0 = time.time()
     pp = Preprocessor(src)
