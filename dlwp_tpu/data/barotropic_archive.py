@@ -86,6 +86,10 @@ class BarotropicArchiveSource:
         truth_truncation: int | None = None,
         truth_nlat: int | None = None,
         truth_nlon: int | None = None,
+        zonal_relaxation_days: float = 0.0,
+        relax_n: int = 20,
+        wave_drag_days: float = 0.0,
+        wave_drag_n_min: int = 15,
     ):
         self.nlat, self.nlon = int(nlat), int(nlon)
         self.truncation = int(truncation)
@@ -158,6 +162,37 @@ class BarotropicArchiveSource:
         else:
             self._run_grid = self.grid
             self._run_truncation = self.truncation
+        # Unmodeled-physics term (round-4 verdict item 6, second option):
+        # the GENERATING dynamics relax the zonal-mean vorticity (m = 0,
+        # n <= relax_n) toward a fixed mid-amplitude jet profile on a
+        # ``zonal_relaxation_days`` timescale (Held-Suarez-style). The
+        # plain barotropic core scored as a baseline does not know this
+        # term, so it carries a genuine, persistent physics deficiency —
+        # while the term is zonally symmetric and linear in the visible
+        # state, i.e. learnable by the (translation-equivariant) CNN via
+        # the latitude information in its insolation channel. Preferred
+        # over the truth_truncation route on THIS configuration: the
+        # measured del-8 hyperdiffusion kills above-truncation modes, so a
+        # T106 truth reintegrates at T72 to fp32 noise (BASELINE.md r5).
+        # Relaxation is stabilizing (bounded response), unlike an additive
+        # forcing, which the low-n damping could never balance.
+        self.zonal_relaxation_days = float(zonal_relaxation_days)
+        self.relax_n = int(relax_n)
+        # Scale-selective Rayleigh drag on the cascade band (all m,
+        # n >= wave_drag_n_min): the band is continuously re-energized by
+        # the nonlinear enstrophy cascade from the forced scales, so the
+        # truth's statistics stay stationary over long segments (unlike a
+        # broadband wave drag, which would empty the waves), while a plain
+        # core scored as a baseline equilibrates the band differently —
+        # persistent model error. Measured instrument choice in
+        # BASELINE.md round 5: the zonal relaxation equilibrates to the
+        # (weak) wave-driven zonal tendency, and truth_truncation error is
+        # bounded by what the hyperdiffusion leaves alive; the band drag is
+        # the term with production-scale magnitude. As a fixed linear
+        # scale-selective filter it is exactly representable by a
+        # convolution — learnable by the CNN with no symmetry breaking.
+        self.wave_drag_days = float(wave_drag_days)
+        self.wave_drag_n_min = int(wave_drag_n_min)
         self._fields: dict[str, np.ndarray] | None = None
 
     # ------------------------------------------------------------ generation
@@ -246,6 +281,56 @@ class BarotropicArchiveSource:
             dtype=jnp.float32,
             step_impl=self.step_impl,
         )
+        if self.zonal_relaxation_days > 0 or self.wave_drag_days > 0:
+            if self.step_impl == "pallas":
+                raise ValueError(
+                    "unmodeled-physics terms require step_impl='xla' (the "
+                    "fused kernel bakes the unforced tendency)"
+                )
+        if self.wave_drag_days > 0:
+            tau_d = self.wave_drag_days * 86400.0
+            T = self._run_truncation
+            n_idx = np.arange(T + 1)[None, :]
+            band = (n_idx >= self.wave_drag_n_min) * np.ones((T + 1, 1))
+            drag_mask = jnp.asarray(
+                band.astype(np.float32) * np.asarray(model.sh.mask) / tau_d
+            )
+            base_tendency_d = model._tendency
+
+            def dragged_tendency(vrt_spec):
+                return base_tendency_d(vrt_spec) - (
+                    vrt_spec * drag_mask
+                ).astype(vrt_spec.dtype)
+
+            model._tendency = dragged_tendency
+        if self.zonal_relaxation_days > 0:
+            tau = self.zonal_relaxation_days * 86400.0
+            T = self._run_truncation
+            m_idx = np.arange(T + 1)[:, None]
+            n_idx = np.arange(T + 1)[None, :]
+            mask = ((m_idx == 0) & (n_idx >= 1) & (n_idx <= self.relax_n))
+            relax_mask = jnp.asarray(
+                mask.astype(np.float32) * np.asarray(model.sh.mask)
+            )
+            lat = np.radians(np.asarray(self._run_grid.lat))[:, None]
+            a_sb = (
+                self.superrotation_ms * 2 * OMEGA * self.grid.radius / GRAVITY
+            )
+            target_z = (
+                5500.0 - a_sb * np.sin(lat) - self.jet_amp * np.sin(lat) ** 2
+            ) * np.ones((1, self._run_grid.nlon))
+            target_spec = (
+                model.from_z(jnp.asarray(target_z, jnp.float32)).vrt_spec
+                * relax_mask
+            )
+            base_tendency = model._tendency
+
+            def forced_tendency(vrt_spec):
+                relax = (target_spec - vrt_spec * relax_mask) / tau
+                return base_tendency(vrt_spec) + relax.astype(vrt_spec.dtype)
+
+            model._tendency = forced_tendency
+
         state = model.from_z(jnp.asarray(self._initial_z()))
         spinup = int(round(self.spinup_days * 86400.0 / self.dt))
         if spinup:

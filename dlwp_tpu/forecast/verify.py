@@ -157,6 +157,7 @@ def verification_from_series(
     dt_hours: int = 6,
     init_times=None,
     all_data=None,
+    mask_discontinuous: bool = True,
 ):
     """Build the (f_hour, time, varlev, lat, lon) verification array
     (reference verify.py:238-273): entry [f, d] is the state at
@@ -168,6 +169,17 @@ def verification_from_series(
             unless ``init_times`` is given.
         all_data: optional larger PredictorDataset to look up valid states
             beyond the subset (reference's all_ds).
+        mask_discontinuous: all-NaN rows in the series mark continuity
+            breaks (e.g. perturbed-restart segment boundaries in
+            BarotropicArchiveSource archives). When True (default), a
+            valid state separated from its init time by a marker row is
+            masked NaN — otherwise forecasts initialized near a boundary
+            are scored against the *restarted, unrelated* flow, and with
+            K boundaries in the subset every lead-L error row absorbs
+            ~K*(L - window) such pairs, each O(field variance): measured
+            on the round-5 paper archive this contaminated the 72 h
+            baseline row by 28.8 m RMSE while its true error was 0.06 m.
+            Continuous archives (no NaN rows) are unaffected.
     """
     if forecast_steps < 1:
         raise ValueError("'forecast_steps' must be an integer >= 1")
@@ -181,14 +193,27 @@ def verification_from_series(
         else np.asarray(data.sample, dtype="datetime64[ns]")
     )
     dt = np.timedelta64(int(dt_hours), "h").astype("timedelta64[ns]")
+    if mask_discontinuous:
+        flat = series.reshape(series.shape[0], -1)
+        marker = ~np.isfinite(flat).any(axis=1)
+        # Segment id of each row = number of marker rows before it.
+        seg = np.cumsum(marker) - marker.astype(int)
     out = np.full(
         (forecast_steps, len(init)) + series.shape[1:], np.nan, dtype=np.float32
     )
     for d, t0 in enumerate(init):
+        i0 = lookup.get(t0) if mask_discontinuous else None
         for f in range(forecast_steps):
             i = lookup.get(t0 + (f + 1) * dt)
-            if i is not None:
-                out[f, d] = series[i]
+            if i is None:
+                continue
+            if (
+                mask_discontinuous
+                and i0 is not None
+                and seg[i] != seg[i0]
+            ):
+                continue  # valid time lies past a continuity break
+            out[f, d] = series[i]
     f_hour = np.arange(dt_hours, dt_hours * forecast_steps + 1, dt_hours)
     return out, f_hour
 

@@ -70,6 +70,34 @@ class TestVerifyMetrics:
         # Beyond the end: NaN.
         assert np.isnan(ver[2, -1]).all()
 
+    def test_verification_masks_across_restart_markers(self):
+        """An all-NaN marker row (segment restart boundary in barotropic
+        archives) breaks series continuity: valid states past it belong to
+        an unrelated restarted flow and must be masked, not scored — with
+        K boundaries in a subset, every lead-L error row otherwise absorbs
+        ~K*L cross-restart pairs of O(field-variance) magnitude (measured
+        28.8 m at 72 h on the round-5 paper archive whose true baseline
+        error was 0.06 m; BASELINE.md round 5)."""
+        ds = make_series(n=20)
+        arr = np.asarray(ds.predictors).copy()
+        arr[10] = np.nan  # restart marker
+        ds.predictors = arr
+        ver, _ = verify.verification_from_series(ds, forecast_steps=4)
+        # init 8: leads land on 9 (ok), 10 (marker -> NaN), 11, 12 (past
+        # the marker -> masked)
+        assert np.isfinite(ver[0, 8]).all()
+        assert np.isnan(ver[1, 8]).all()
+        assert np.isnan(ver[2, 8]).all()
+        assert np.isnan(ver[3, 8]).all()
+        # init 11 (after the marker): all leads within the new segment
+        assert np.isfinite(ver[0, 11]).all()
+        assert np.isfinite(ver[3, 11]).all()
+        # opt-out restores the raw lookup
+        ver_raw, _ = verify.verification_from_series(
+            ds, forecast_steps=4, mask_discontinuous=False
+        )
+        assert np.isfinite(ver_raw[2, 8]).all()
+
 
 class TestTimeSeriesEstimator:
     def _fit_model(self, ds, **sampler_kw):
