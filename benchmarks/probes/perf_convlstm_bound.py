@@ -186,7 +186,15 @@ def main():
           f"speed-of-light fraction {total_bound/full_us*100:.0f}%")
 
     # ---- lstm_features sensitivity: where is the MXU shape knee?
-    print("\nlstm_features sensitivity (full flagship apply):", flush=True)
+    # Forward-only apply of the F=48 variant hard-faults the v5e worker
+    # (the known forward-only pathology, docs/DEPLOY.md); lower every row
+    # through compile_forward_safe so the sweep is uniform — rows include
+    # a discarded backward pass and are comparable to each other, not to
+    # the forward-only numbers above.
+    from dlwp_tpu.utils import compile_forward_safe
+
+    print("\nlstm_features sensitivity (full apply, safe form — rows "
+          "include a discarded backward pass):", flush=True)
     for feat in (12, 24, 48, 96):
         specs = [
             ("ConvLSTM2D", (feat, 3),
@@ -198,7 +206,7 @@ def main():
         m = build_sequential(specs)
         xs = jnp.asarray(rng.randn(B, T, C, H, W), jnp.float32)
         ps = m.init(jax.random.PRNGKey(1), xs)
-        t = timed(lambda a: m.apply(ps, a), xs)
+        t = timed(compile_forward_safe(lambda a: m.apply(ps, a)), xs)
         print(f"  F={feat:3d}: {t*1e6:8.1f} us/apply "
               f"({B*H*W/t/1e6:6.1f} Mgp/s)", flush=True)
 
