@@ -31,13 +31,29 @@ def main(argv=None):
     ap.add_argument("--forecast-steps", type=int, default=12)
     ap.add_argument("--n-init", type=int, default=64)
     ap.add_argument("--validation-fraction", type=float, default=0.25)
+    ap.add_argument("--val-json", default=None,
+                    help="validate.py --emit-json artifact for the same "
+                         "model: its RMSE curve is the error budget the "
+                         "deviation is scored against (replaces the "
+                         "probe's own in-line truth alignment, which "
+                         "cannot see validate.py's masking/climatology "
+                         "handling)")
     args = ap.parse_args(argv)
 
     from dlwp_tpu.data import PredictorDataset, SeriesSampler
-    from dlwp_tpu.forecast import TimeSeriesEstimator, verify
+    from dlwp_tpu.forecast import TimeSeriesEstimator
     from dlwp_tpu.utils import load_model, train_test_split_ind
 
     data = PredictorDataset.from_file(args.predictor_file)
+    # Same grid reconciliation as examples/validate.py:86-96 — a model
+    # trained under the --crop-north-pole default expects one fewer row.
+    probe_model = load_model(args.model_file)
+    trained = probe_model.input_sample_shape
+    if (trained is not None and data.lat[0] == 90.0
+            and trained[-2] == data.predictors.shape[-2] - 1):
+        data.predictors = np.asarray(data.predictors)[..., 1:, :]
+        data.lat = data.lat[1:]
+    del probe_model
     n = data.predictors.shape[0]
     _, val_idx = train_test_split_ind(
         n, int(n * args.validation_fraction), method="last"
@@ -45,27 +61,15 @@ def main(argv=None):
     val = data.isel_sample(val_idx)
 
     def rollout(gate_dtype):
-        import jax.numpy as jnp
-
         dlwp = load_model(args.model_file)
-        # Flip the front end's gate dtype in the saved specs and rebuild.
-        specs = []
-        for spec in dlwp.layer_specs:
-            name, a, kw = spec[0], spec[1], dict(spec[2] or {})
-            if name == "ConvLSTM2D":
-                kw["gate_dtype"] = (
-                    jnp.bfloat16 if gate_dtype == "bfloat16" else None
-                )
-            specs.append((name, a, kw))
-        params = dlwp.trainer.params
-        dlwp.build_model(specs)
-        dlwp.trainer.params = params
         gen = SeriesSampler(
             val, model=dlwp, input_time_steps=dlwp.time_dim,
             output_time_steps=dlwp.time_dim, batch_size=64,
             add_insolation=True,
         )
-        est = TimeSeriesEstimator(dlwp, gen)
+        # The serving-precision API (forecast/rollout.py): rebuilds the
+        # ConvLSTM specs with the requested gate dtype, weights untouched.
+        est = TimeSeriesEstimator(dlwp, gen, gate_dtype=gate_dtype)
         n_iter = max(1, args.forecast_steps // est._out_ts)
         fc = est.predict(
             n_iter, samples=np.arange(args.n_init), unscale=True,
@@ -80,23 +84,33 @@ def main(argv=None):
         (fc32.values[:, :, v] - fc16.values[:, :, v]) ** 2, axis=(1, 2, 3)
     ))
 
-    ver, f_hour = verify.verification_from_series(
-        val, forecast_steps=fc32.values.shape[0],
-        dt_hours=int(fc32.f_hour[0]), init_times=fc32.times, all_data=data,
-    )
-    out_idx = val.varlev_index(fc32.varlev)
-    mean = data.mean[out_idx][v] if data.mean is not None else 0.0
-    std = data.std[out_idx][v] if data.std is not None else 1.0
-    ver_p = ver[:, :, out_idx][:, :, v] * std + mean
-    ax = (1, 2, 3)
-    rmse32 = np.sqrt(np.mean((fc32.values[:, :, v] - ver_p) ** 2, axis=ax))
-    rmse16 = np.sqrt(np.mean((fc16.values[:, :, v] - ver_p) ** 2, axis=ax))
+    # Paired rollouts also give the skill-difference directly (the two
+    # trajectories score against the SAME truth, so masked/NaN rows
+    # cancel): report RMS deviation, and — when a validate.py artifact is
+    # supplied — the model's own RMSE curve as the error budget, plus the
+    # quadrature impact sqrt(rmse^2 + dev^2) - rmse the deviation would
+    # add if it were independent error.
+    budget = None
+    if args.val_json:
+        import json
 
-    print(f"{'f_hour':>7} {'bf16 dev [m]':>13} {'rmse fp32':>10} "
-          f"{'rmse bf16':>10} {'dev/rmse':>9}")
+        with open(args.val_json) as f:
+            vj = json.load(f)
+        assert [int(x) for x in vj["f_hour"]] == [
+            int(x) for x in fc32.f_hour], "lead mismatch vs val artifact"
+        budget = np.asarray(vj["rmse"]["forecast"])
+
+    hdr = f"{'f_hour':>7} {'bf16 dev [m]':>13}"
+    if budget is not None:
+        hdr += f" {'model rmse':>11} {'dev/rmse':>9} {'quad add':>9}"
+    print(hdr)
     for i, fh in enumerate(fc32.f_hour):
-        print(f"{fh:7.0f} {dev[i]:13.3f} {rmse32[i]:10.2f} "
-              f"{rmse16[i]:10.2f} {dev[i]/max(rmse32[i],1e-9):9.4f}")
+        row = f"{fh:7.0f} {dev[i]:13.3f}"
+        if budget is not None:
+            quad = np.sqrt(budget[i] ** 2 + dev[i] ** 2) - budget[i]
+            row += (f" {budget[i]:11.2f} {dev[i]/budget[i]:9.4f} "
+                    f"{quad:8.3f}m")
+        print(row)
 
 
 if __name__ == "__main__":

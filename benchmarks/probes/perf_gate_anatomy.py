@@ -31,6 +31,15 @@ B, F, H, W = 64, 12, 36, 144
 
 
 def timed(fn, *args, steps=30, repeats=3):
+    """In-scan timing with a carry data-dependence on the first arg.
+
+    CAUTION (measured, round 5): the ``a * c`` dependence materializes a
+    full copy of the first operand every step — for stages whose input
+    is large relative to their compute this DOMINATES (step-1 gates: the
+    48-ch z copy adds ~2x the stage's own traffic, padded). Use
+    :func:`timed_stream` for per-stage traffic-faithful numbers; this
+    form is kept to quantify the harness artifact itself.
+    """
     def body(c, _):
         y = fn(*(a * c if i == 0 else a for i, a in enumerate(args)))
         return 1.0 + 0.0 * jax.tree.leaves(y)[0].ravel()[0].astype(
@@ -46,6 +55,32 @@ def timed(fn, *args, steps=30, repeats=3):
     for _ in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(loop())
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
+def timed_stream(fn, *args, steps=10, repeats=3):
+    """Streaming in-scan timing: every step reads a FRESH pre-stacked
+    copy of each input and writes its full output into the scan's
+    stacked ys — per-step HBM traffic is exactly the stage's own
+    read+write bytes, no artificial copies, and XLA cannot hoist or
+    dead-code the op. Memory: (steps+1) x (inputs+outputs); keep steps
+    modest for multi-GB operands."""
+    xs = tuple(jnp.stack([a] * steps) for a in args)
+
+    def body(_, xa):
+        return (), fn(*xa)
+
+    @jax.jit
+    def loop(*xs_):
+        _, ys = lax.scan(body, (), xs_)
+        return jax.tree.leaves(ys)[0].ravel()[0]
+
+    jax.block_until_ready(loop(*xs))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(*xs))
         ts.append(time.perf_counter() - t0)
     return min(ts) / steps
 
@@ -70,8 +105,11 @@ def main():
             z = jnp.asarray(rng.randn(*shape), dt)
             for act, al in ((jnp.tanh, "tanh"), (lambda x: x, "ident")):
                 t = timed(lambda a, _act=act: gates(a, _act), z) * 1e6
-                print(f"  {label} {dl} {al:5}: {t:7.1f} us "
-                      f"({t/byte_floor_us:5.2f}x floor)", flush=True)
+                ts = timed_stream(
+                    lambda a, _act=act: gates(a, _act), z) * 1e6
+                print(f"  {label} {dl} {al:5}: carry {t:7.1f} us "
+                      f"({t/byte_floor_us:5.2f}x) | stream {ts:7.1f} us "
+                      f"({ts/byte_floor_us:5.2f}x floor)", flush=True)
 
     # pallas fused kernel, native shapes (full step-2 form: zx+zh+c)
     from dlwp_tpu.ops.lstm_gates import fused_lstm_gates
@@ -91,9 +129,10 @@ def main():
     s2_floor = (2 * B * 4 * F * H * W + 3 * B * F * H * W) * 4 / 819e3
     for fn, label in ((xk, "step-2 XLA   "), (pk, "step-2 pallas")):
         t = timed(fn, zx, zh, c) * 1e6
-        print(f"  {label} f32 native: {t:7.1f} us "
-              f"({t/s2_floor:5.2f}x its {s2_floor:.0f} us floor)",
-              flush=True)
+        ts = timed_stream(fn, zx, zh, c) * 1e6
+        print(f"  {label} f32 native: carry {t:7.1f} us ({t/s2_floor:5.2f}x)"
+              f" | stream {ts:7.1f} us ({ts/s2_floor:5.2f}x of its "
+              f"{s2_floor:.0f} us floor)", flush=True)
 
 
 if __name__ == "__main__":

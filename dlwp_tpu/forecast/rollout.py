@@ -69,7 +69,29 @@ class TimeSeriesEstimator:
         (imputation, extensions.py:231-233).
     """
 
-    def __init__(self, model, sampler: SeriesSampler):
+    def __init__(self, model, sampler: SeriesSampler, gate_dtype=None):
+        """``gate_dtype``: serving-precision override for ConvLSTM2D gate
+        chains — e.g. ``'bfloat16'`` rebuilds the model's layer specs
+        with ``ConvLSTM2D(gate_dtype=bfloat16)`` (weights unchanged).
+        Measured decision data (BASELINE.md round 5, paper-2 model):
+        +26% apply throughput; paired-rollout trajectory deviation
+        0.6 m @6 h → 2.1 m @72 h of Z500, a ≤0.7% quadrature addition
+        to the model's own 5.4→44 m RMSE — recommended for serving
+        deployments. Default ``None`` keeps the as-trained dtype so
+        scoring paths (validate.py) measure the model as trained."""
+        if gate_dtype is not None and getattr(model, "layer_specs", None):
+            import jax.numpy as jnp
+
+            gd = getattr(jnp, gate_dtype) if isinstance(gate_dtype, str) else gate_dtype
+            specs = []
+            for spec in model.layer_specs:
+                name, a, kw = spec[0], spec[1], dict(spec[2] or {})
+                if name == "ConvLSTM2D":
+                    kw["gate_dtype"] = gd
+                specs.append((name, a, kw))
+            params = model.trainer.params
+            model.build_model(specs)
+            model.trainer.params = params
         self.model = model
         self.sampler = sampler
         self._k = int(sampler._interval)

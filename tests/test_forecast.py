@@ -317,3 +317,47 @@ class TestVerifyACC:
         anti = 2 * climo - valid
         acc = verify.anomaly_correlation(anti, valid)
         np.testing.assert_allclose(acc, -np.ones(3), atol=1e-10)
+
+
+class TestServingGateDtype:
+    def test_estimator_gate_dtype_override(self):
+        """TimeSeriesEstimator(gate_dtype='bfloat16') rebuilds ConvLSTM2D
+        specs with the serving-precision gate chain (weights unchanged)
+        and rolls out close to the fp32 trajectory — the measured +26%
+        serving lever (BASELINE.md round 5). Default None must leave the
+        specs untouched so scoring paths see the as-trained dtype."""
+        import jax.numpy as jnp
+
+        ds = make_series(n=30)
+        model = DLWPNeuralNet(is_recurrent=True, time_dim=2,
+                              scaler_type=None)
+        sampler = SeriesSampler(ds, model=model, batch_size=8,
+                                input_time_steps=2, output_time_steps=2)
+        model.build_model(
+            [("ConvLSTM2D", (4, 3), {"return_sequences": True}),
+             ("CyclicConv2D", (2, 1), {})],
+        )
+        x, y = sampler[0]
+        model.fit(x, y, epochs=1, batch_size=8, verbose=False)
+        params_before = model.trainer.params
+
+        est32 = TimeSeriesEstimator(model, sampler)
+        assert all(
+            (s[2] or {}).get("gate_dtype") is None
+            for s in model.layer_specs if s[0] == "ConvLSTM2D"
+        )
+        fc32 = est32.predict(3, samples=[0, 1])
+
+        est16 = TimeSeriesEstimator(model, sampler, gate_dtype="bfloat16")
+        assert any(
+            (s[2] or {}).get("gate_dtype") == jnp.bfloat16
+            for s in model.layer_specs if s[0] == "ConvLSTM2D"
+        )
+        assert model.trainer.params is params_before  # weights survive
+        fc16 = est16.predict(3, samples=[0, 1])
+
+        assert fc16.values.shape == fc32.values.shape
+        # bf16 gates perturb, not break: small relative deviation.
+        scale = np.sqrt(np.mean(fc32.values ** 2))
+        dev = np.sqrt(np.mean((fc32.values - fc16.values) ** 2))
+        assert 0 < dev < 0.05 * scale, (dev, scale)
