@@ -242,9 +242,14 @@ class ConvLSTM2D(nn.Module):
         # compute them for every time step in one (B*T)-batched conv (one
         # large MXU contraction instead of T small ones inside the scan;
         # only the recurrent conv stays sequential).
+        # Time-major from the start: transposing the C-channel INPUT
+        # (B,T,C,...) -> (T,B,C,...) moves 4F/C times fewer bytes than
+        # transposing the conv's 4F-channel output for the scan (the
+        # canonical config: 3 ch vs 48 ch — the old moveaxis on zx_all
+        # was a full ~2x-padded 191 MB HBM round trip).
         zx_all = conv(
-            x.reshape(B * T, C, H, W), Wx, dilation=dil
-        ).reshape(B, T, 4 * F, H, W)
+            jnp.moveaxis(x, 1, 0).reshape(T * B, C, H, W), Wx, dilation=dil
+        ).reshape(T, B, 4 * F, H, W)
 
         gd = self.gate_dtype
 
@@ -296,8 +301,8 @@ class ConvLSTM2D(nn.Module):
                 )
                 return (h_new, c_new), h_new
 
-        # Scan over time: move T to the front.
-        zxs = jnp.moveaxis(zx_all, 1, 0)
+        # Already time-major (see zx_all above).
+        zxs = zx_all
         # First step specialized: the initial state is exactly zero, so
         # zh = conv(0) = 0 and the forget branch vanishes -- this removes
         # one full-resolution recurrent conv from the graph (the scan body
@@ -317,6 +322,19 @@ class ConvLSTM2D(nn.Module):
             h1 = h1.astype(zxs.dtype)
         if T == 1:
             h_last, hs = h1, h1[None]
+        elif T <= 4:
+            # Unrolled recurrence for short windows (canonical config:
+            # T=2, ONE recurrent step). The scan form forces its sliced
+            # input through a degenerate T(1,128)-tiled layout copy and
+            # stacks ys through the while-loop body (both top-cost ops in
+            # the round-5 HLO dump); straight-line code lets XLA fuse
+            # them away. Identical math to the scan branch (same `step`).
+            carry, hs_list = (h1, c1), [h1]
+            for t in range(1, T):
+                carry, h_t = step(carry, zxs[t])
+                hs_list.append(h_t)
+            h_last = carry[0]
+            hs = jnp.stack(hs_list, axis=0)
         else:
             (h_last, _), hs_rest = jax.lax.scan(step, (h1, c1), zxs[1:])
             hs = jnp.concatenate([h1[None], hs_rest], axis=0)

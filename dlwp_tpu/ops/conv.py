@@ -132,11 +132,20 @@ def cyclic_conv2d_edgefix(
 _PARITY_MAX_W = 512
 
 
+# Default implementation for the dilation-1 branch of
+# :func:`conv_after_upsample2`. 'lhsdil' (one lhs-dilated XLA conv, no
+# interleave pass) vs 'parity4' (4*O-channel small-grid conv + explicit
+# interleave): measured on the full flagship apply, TPU v5e round 5 —
+# see BASELINE.md. Override per call or flip here.
+UPSAMPLE2_IMPL = "lhsdil"
+
+
 def conv_after_upsample2(
     a: jax.Array,
     kernel: jax.Array,
     dilation: tuple[int, int] = (1, 1),
     precision=None,
+    impl: str | None = None,
 ) -> jax.Array:
     """``cyclic_conv2d(upsample2d(a, 2), kernel, dilation)`` without ever
     materializing the upsampled grid.
@@ -172,6 +181,31 @@ def conv_after_upsample2(
         return cyclic_conv2d(
             upsample2d(a, (2, 2)), kernel, dilation=dil, precision=precision
         )
+    if (impl or UPSAMPLE2_IMPL) == "lhsdil":
+        # One lhs-dilated conv: nearest-x2 upsample == zero-stuffing
+        # convolved with ones(2,2), so conv(up(a), K) == conv_lhsdil2(a,
+        # K (*) ones(2,2)) — XLA lowers the strided scatter inside the
+        # conv window computation and the explicit interleave pass of the
+        # parity4 form (two ~250 us layout copies per stage on the
+        # flagship tail, HLO round 5) disappears. Equivalence: 1e-6 vs
+        # parity4 (tests/test_ops.py).
+        O_, C_ = kernel.shape[0], kernel.shape[1]
+        ones = jnp.ones((1, 1, 2, 2), kernel.dtype)
+        kp = lax.conv_general_dilated(
+            kernel.reshape(O_ * C_, 1, kh, kw), ones, (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ).reshape(O_, C_, kh + 1, kw + 1)
+        p = (kh + 1) // 2
+        wrapn = (p + 1) // 2  # source cols so virtual reads stay in range
+        xw = jnp.concatenate([a[..., -wrapn:], a, a[..., :wrapn]], axis=-1)
+        batch_shape = xw.shape[:-3]
+        x4 = xw.reshape((-1,) + xw.shape[-3:])
+        y = lax.conv_general_dilated(
+            x4, kp, (1, 1), ((p, p), (p, p)), lhs_dilation=(2, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=precision,
+        )
+        y = y.reshape(batch_shape + y.shape[1:])
+        return y[..., 2 * wrapn:-(2 * wrapn)]
     c = (kh - 1) // 2
     # Parity-combined 3x3 kernels: K_small[p][j] = sum of K[a] over taps a
     # with floor((p + a)/2) == j (independently per axis). All four parity

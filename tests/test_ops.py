@@ -246,3 +246,33 @@ class TestEdgefixConv:
         g1 = jax.grad(lambda kk: jnp.sum(cyclic_conv2d(x, kk) ** 2))(k)
         g2 = jax.grad(lambda kk: jnp.sum(cyclic_conv2d_edgefix(x, kk) ** 2))(k)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
+
+
+class TestUpsample2Lhsdil:
+    def test_lhsdil_matches_parity4(self):
+        """The one-conv lhs-dilated form of conv_after_upsample2 must
+        match the parity4 interleave form (and hence the literal
+        upsample->conv reference) for the tower's kernel sizes."""
+        from dlwp_tpu.ops.conv import conv_after_upsample2
+        from dlwp_tpu.ops.pooling import upsample2d
+        from dlwp_tpu.ops.conv import cyclic_conv2d
+
+        rng = np.random.RandomState(7)
+        for kh in (3, 5):
+            x = jnp.asarray(rng.randn(2, 5, 6, 12), jnp.float32)
+            k = jnp.asarray(rng.randn(4, 5, kh, kh) * 0.3, jnp.float32)
+            lit = cyclic_conv2d(upsample2d(x, (2, 2)), k)
+            par = conv_after_upsample2(x, k, impl="parity4")
+            lhs = conv_after_upsample2(x, k, impl="lhsdil")
+            np.testing.assert_allclose(par, lit, rtol=0, atol=2e-5)
+            np.testing.assert_allclose(lhs, lit, rtol=0, atol=2e-5)
+
+    def test_lhsdil_leading_dims(self):
+        from dlwp_tpu.ops.conv import conv_after_upsample2
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 3, 5, 6, 12), jnp.float32)
+        k = jnp.asarray(rng.randn(4, 5, 3, 3) * 0.3, jnp.float32)
+        a = conv_after_upsample2(x, k, impl="parity4")
+        b = conv_after_upsample2(x, k, impl="lhsdil")
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
