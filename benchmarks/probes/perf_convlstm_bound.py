@@ -57,6 +57,32 @@ def timed(fn, *args, steps=30, repeats=3):
     return min(ts) / steps
 
 
+def timed_stream(fn, *args, steps=10, repeats=3):
+    """Traffic-faithful per-stage timing (round-5 fix): fresh pre-stacked
+    inputs each step, outputs stacked by the scan — per-step HBM traffic
+    is exactly the stage's own bytes. The original carry-scaled harness
+    (``timed``) materializes a full copy of the first operand every step,
+    which for the gate stages added ~2x their own traffic and inflated
+    the measured/floor ratio (see perf_gate_anatomy.py)."""
+    xs = tuple(jnp.stack([a] * steps) for a in args)
+
+    def body(_, xa):
+        return (), fn(*xa)
+
+    @jax.jit
+    def loop(*xs_):
+        _, ys = lax.scan(body, (), xs_)
+        return jax.tree.leaves(ys)[0].ravel()[0]
+
+    jax.block_until_ready(loop(*xs))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(*xs))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps
+
+
 def mb(ch, h, w, batch=B):
     return batch * ch * h * w * 4 / 1e6
 
@@ -132,7 +158,7 @@ def main():
     tower = build_sequential(_tower_specs(T * 2))
     xt = jnp.asarray(rng.randn(B, T * F, H, W), jnp.float32)
     pt = tower.init(key, xt)
-    t_tower = timed(lambda a: tower.apply(pt, a), xt)
+    t_tower = timed_stream(lambda a: tower.apply(pt, a), xt)
     tower_ladder = [
         # (cin, cout, k, h_in, w_in, h_out, w_out) conv at in-res, out
         # possibly pooled (write at out-res)
@@ -159,6 +185,11 @@ def main():
         "output emit", None, None, 0.0, mb(T * 2, H, W), 0.0,
     ))
 
+    print("\nNOTE: the 'meas' column is the streaming harness and is NOT "
+          "trustworthy per-stage truth (it measured 3.3x the full apply "
+          "in round 5 — see perf_gate_anatomy.py for how every "
+          "microbenchmark harness here measured itself). The analytic "
+          "floors and the full-apply row above are the usable data.")
     print(f"\n{'stage':36} {'meas us':>8} {'byteF us':>9} "
           f"{'flopF us':>9} {'bound us':>9} {'x-over':>7}")
     total_bound = 0.0
@@ -167,7 +198,7 @@ def main():
         byte_us, flop_us, bound = floor_us(rmb, wmb, gf)
         total_bound += bound
         if fn is not None:
-            t = timed(fn, *args) * 1e6
+            t = timed_stream(fn, *args) * 1e6
         elif label.startswith("tower"):
             t = t_tower * 1e6
         else:
@@ -187,15 +218,19 @@ def main():
 
     # ---- lstm_features sensitivity: where is the MXU shape knee?
     # Forward-only apply of the F=48 variant hard-faults the v5e worker
-    # (the known forward-only pathology, docs/DEPLOY.md); lower every row
-    # through compile_forward_safe so the sweep is uniform — rows include
-    # a discarded backward pass and are comparable to each other, not to
-    # the forward-only numbers above.
-    from dlwp_tpu.utils import compile_forward_safe
-
-    print("\nlstm_features sensitivity (full apply, safe form — rows "
-          "include a discarded backward pass):", flush=True)
-    for feat in (12, 24, 48, 96):
+    # (the known forward-only pathology, docs/DEPLOY.md) — and so does
+    # compile_forward_safe's input-grad form (measured round 5: the
+    # fault-class boundary is narrower than 'any backward pass'; the
+    # known-good program shape is the TRAIN step, gradients w.r.t. the
+    # PARAMETERS). The sweep therefore times a params-grad step — the
+    # number that matters for locating the MXU shape knee in training.
+    print("\nlstm_features sensitivity (params-grad step — the "
+          "train-step program class; F>=48 hard-faults the v5e worker "
+          "in EVERY program form tried through this timing harness "
+          "(forward, input-grad, params-grad), so the sweep stops at "
+          "24 — the knee above that is unmeasurable over this tunnel):",
+          flush=True)
+    for feat in (12, 24):
         specs = [
             ("ConvLSTM2D", (feat, 3),
              {"dilation": 2, "return_sequences": True, "activation": "tanh"}),
@@ -206,7 +241,15 @@ def main():
         m = build_sequential(specs)
         xs = jnp.asarray(rng.randn(B, T, C, H, W), jnp.float32)
         ps = m.init(jax.random.PRNGKey(1), xs)
-        t = timed(compile_forward_safe(lambda a: m.apply(ps, a)), xs)
+
+        def grad_step(a, _ps=ps, _m=m):
+            def loss(p):
+                return jnp.mean(_m.apply(p, a) ** 2)
+
+            gs = jax.grad(loss)(_ps)
+            return jax.tree.leaves(gs)[0]
+
+        t = timed(grad_step, xs)
         print(f"  F={feat:3d}: {t*1e6:8.1f} us/apply "
               f"({B*H*W/t/1e6:6.1f} Mgp/s)", flush=True)
 
