@@ -135,9 +135,18 @@ _PARITY_MAX_W = 512
 # Default implementation for the dilation-1 branch of
 # :func:`conv_after_upsample2`. 'lhsdil' (one lhs-dilated XLA conv, no
 # interleave pass) vs 'parity4' (4*O-channel small-grid conv + explicit
-# interleave): measured on the full flagship apply, TPU v5e round 5 —
-# see BASELINE.md. Override per call or flip here.
-UPSAMPLE2_IMPL = "lhsdil"
+# interleave). Measured on TPU v5e round 5 (BASELINE.md): lhsdil +2.6%
+# full-model at the 2.5° flagship (output W=144 pads 144->256 lanes, a
+# 1.78x tax the interleave copies pay) but -3.9% at the 0.5° tower
+# (W=720 pads only to 768, and lhsdil's zero-stuffed windows cost more
+# than the now-cheap interleave). 'auto' picks by the output lane
+# padding ratio; override per call or pin here.
+UPSAMPLE2_IMPL = "auto"
+
+
+def _upsample2_auto_impl(w_out: int) -> str:
+    pad_ratio = (-w_out % 128 + w_out) / w_out
+    return "lhsdil" if pad_ratio >= 1.25 else "parity4"
 
 
 def conv_after_upsample2(
@@ -181,7 +190,10 @@ def conv_after_upsample2(
         return cyclic_conv2d(
             upsample2d(a, (2, 2)), kernel, dilation=dil, precision=precision
         )
-    if (impl or UPSAMPLE2_IMPL) == "lhsdil":
+    chosen = impl or UPSAMPLE2_IMPL
+    if chosen == "auto":
+        chosen = _upsample2_auto_impl(2 * a.shape[-1])
+    if chosen == "lhsdil":
         # One lhs-dilated conv: nearest-x2 upsample == zero-stuffing
         # convolved with ones(2,2), so conv(up(a), K) == conv_lhsdil2(a,
         # K (*) ones(2,2)) — XLA lowers the strided scatter inside the

@@ -276,3 +276,23 @@ class TestUpsample2Lhsdil:
         a = conv_after_upsample2(x, k, impl="parity4")
         b = conv_after_upsample2(x, k, impl="lhsdil")
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+    def test_auto_impl_picks_and_matches(self):
+        """UPSAMPLE2_IMPL='auto' picks lhsdil in the bad-lane-padding
+        regime (2.5-degree-class widths) and parity4 when the output
+        width packs lanes well (0.5-degree-class / 128-multiples), per
+        the round-5 measured crossover; both give identical results."""
+        from dlwp_tpu.ops.conv import (
+            conv_after_upsample2, _upsample2_auto_impl)
+
+        assert _upsample2_auto_impl(144) == "lhsdil"
+        assert _upsample2_auto_impl(720) == "parity4"
+        assert _upsample2_auto_impl(256) == "parity4"
+
+        rng = np.random.RandomState(11)
+        for w in (12, 64):  # -> w_out 24 (lhsdil), 128 (parity4)
+            x = jnp.asarray(rng.randn(2, 5, 6, w), jnp.float32)
+            k = jnp.asarray(rng.randn(4, 5, 3, 3) * 0.3, jnp.float32)
+            auto = conv_after_upsample2(x, k)  # default 'auto'
+            ref = conv_after_upsample2(x, k, impl="parity4")
+            np.testing.assert_allclose(auto, ref, rtol=0, atol=2e-5)
