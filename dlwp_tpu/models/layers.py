@@ -247,9 +247,23 @@ class ConvLSTM2D(nn.Module):
         # transposing the conv's 4F-channel output for the scan (the
         # canonical config: 3 ch vs 48 ch — the old moveaxis on zx_all
         # was a full ~2x-padded 191 MB HBM round trip).
-        zx_all = conv(
-            jnp.moveaxis(x, 1, 0).reshape(T * B, C, H, W), Wx, dilation=dil
-        ).reshape(T, B, 4 * F, H, W)
+        # Bias always folds into the input-conv epilogue (free in XLA;
+        # also keeps the pallas kernel free of 1-D broadcasts, which
+        # Mosaic cannot lower).
+        unrolled = 1 < T <= 4
+        if unrolled:
+            # Per-step input convs: the stacked (T,B,4F,H,W) zx forces a
+            # degenerate T(1,128)-layout slice per unrolled step (the
+            # top op in the round-5 HLO dump); with no scan to feed,
+            # convolve each window directly.
+            def zx_of(t):
+                return (conv(x[:, t], Wx, dilation=dil)
+                        + bias[..., :, None, None])
+        else:
+            zx_all = conv(
+                jnp.moveaxis(x, 1, 0).reshape(T * B, C, H, W), Wx,
+                dilation=dil,
+            ).reshape(T, B, 4 * F, H, W) + bias[..., :, None, None]
 
         gd = self.gate_dtype
 
@@ -279,12 +293,7 @@ class ConvLSTM2D(nn.Module):
         if impl == "pallas":
             from dlwp_tpu.ops.lstm_gates import fused_lstm_gates
 
-            # Bias folds into the batched input-conv epilogue (free in
-            # XLA) so the kernel never broadcasts a 1-D operand (Mosaic
-            # cannot lower vector<4F> -> vector<4Fx1x1>).
-            zx_all = zx_all + bias[..., :, None, None]
-
-            def step(carry, zx):
+            def step(carry, zx):  # zx carries the bias (folded above)
                 h, c = carry
                 zh = conv(h, Wh)
                 h_new, c_new = fused_lstm_gates(
@@ -293,36 +302,29 @@ class ConvLSTM2D(nn.Module):
                 )
                 return (h_new, c_new), h_new
         else:
-            def step(carry, zx):
+            def step(carry, zx):  # zx carries the bias (folded above)
                 h, c = carry
                 zh = conv(h, Wh)
-                h_new, c_new = gates(
-                    zx + zh + bias[..., :, None, None], c
-                )
+                h_new, c_new = gates(zx + zh, c)
                 return (h_new, c_new), h_new
 
-        # Already time-major (see zx_all above).
-        zxs = zx_all
         # First step specialized: the initial state is exactly zero, so
         # zh = conv(0) = 0 and the forget branch vanishes -- this removes
         # one full-resolution recurrent conv from the graph (the scan body
         # is compiled once and cannot exploit h0 = 0; measured 896 us per
         # h-conv at batch 64 on v5e, BASELINE.md).
-        z0 = (
-            zxs[0] if impl == "pallas"  # bias already folded in
-            else zxs[0] + bias[..., :, None, None]
-        )
+        z0 = zx_of(0) if unrolled else zx_all[0]  # bias folded in
         if gd is not None:
             z0 = z0.astype(gd)
         i0, _, g0, o0 = jnp.split(z0, 4, axis=-3)
         c1 = r_act(i0) * act(g0)
         h1 = r_act(o0) * act(c1)
         if gd is not None:
-            c1 = c1.astype(zxs.dtype)
-            h1 = h1.astype(zxs.dtype)
+            c1 = c1.astype(x.dtype)
+            h1 = h1.astype(x.dtype)
         if T == 1:
             h_last, hs = h1, h1[None]
-        elif T <= 4:
+        elif unrolled:
             # Unrolled recurrence for short windows (canonical config:
             # T=2, ONE recurrent step). The scan form forces its sliced
             # input through a degenerate T(1,128)-tiled layout copy and
@@ -331,12 +333,12 @@ class ConvLSTM2D(nn.Module):
             # them away. Identical math to the scan branch (same `step`).
             carry, hs_list = (h1, c1), [h1]
             for t in range(1, T):
-                carry, h_t = step(carry, zxs[t])
+                carry, h_t = step(carry, zx_of(t))
                 hs_list.append(h_t)
             h_last = carry[0]
             hs = jnp.stack(hs_list, axis=0)
         else:
-            (h_last, _), hs_rest = jax.lax.scan(step, (h1, c1), zxs[1:])
+            (h_last, _), hs_rest = jax.lax.scan(step, (h1, c1), zx_all[1:])
             hs = jnp.concatenate([h1[None], hs_rest], axis=0)
         if self.return_sequences:
             return jnp.moveaxis(hs, 0, 1)  # (B, T, F, H, W)
