@@ -335,8 +335,13 @@ class ConvLSTM2D(nn.Module):
             for t in range(1, T):
                 carry, h_t = step(carry, zx_of(t))
                 hs_list.append(h_t)
-            h_last = carry[0]
-            hs = jnp.stack(hs_list, axis=0)
+            if self.return_sequences:
+                # Stack batch-major directly (skips the time-major
+                # stack + moveaxis pair; measured neutral on v5e round
+                # 5 — XLA fused the transpose — kept as the simpler
+                # graph).
+                return jnp.stack(hs_list, axis=1)  # (B, T, F, H, W)
+            return carry[0]
         else:
             (h_last, _), hs_rest = jax.lax.scan(step, (h1, c1), zx_all[1:])
             hs = jnp.concatenate([h1[None], hs_rest], axis=0)
