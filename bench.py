@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def _product_estimator(batch, nlat, nlon, convlstm=False):
+def _product_estimator(batch, nlat, nlon, convlstm=False, gate_dtype=None):
     """Build the PRODUCT forecast stack: synthetic predictor dataset ->
     SeriesSampler (+in-graph insolation channel) -> DLWPNeuralNet with the
     flagship specs -> TimeSeriesEstimator. The benchmark then times the
@@ -73,7 +73,7 @@ def _product_estimator(batch, nlat, nlon, convlstm=False):
     )
     x_sample, _ = sampler.generate(np.arange(1), scale_and_impute=True)
     dlwp.trainer.init(jnp.asarray(x_sample))
-    return TimeSeriesEstimator(dlwp, sampler)
+    return TimeSeriesEstimator(dlwp, sampler, gate_dtype=gate_dtype)
 
 
 def bench_cnn_rollout(batch=256, steps=64, nlat=36, nlon=144, repeats=3,
@@ -147,16 +147,20 @@ def _timed(fn, *args):
 
 
 def bench_convlstm_rollout(batch=64, steps=32, nlat=36, nlon=144, repeats=3,
-                           pipeline=8):
+                           pipeline=8, gate_dtype=None):
     """Canonical ConvLSTM-front-end flagship rollout (reference
     train.py:142-221 configuration, hard_sigmoid recurrent gates per the
     standalone-Keras default) through the PRODUCT rollout path --
     the accountable canonical-configuration number (emitted every round).
-    Pipelined dispatch, same methodology as the headline rollout."""
+    Pipelined dispatch, same methodology as the headline rollout.
+    ``gate_dtype='bfloat16'`` measures the shipped serving configuration
+    (TimeSeriesEstimator gate override; BASELINE.md round-5 decision:
+    +26-38% for <=0.05 m quadrature error add)."""
     import jax
     import jax.numpy as jnp
 
-    est = _product_estimator(batch, nlat, nlon, convlstm=True)
+    est = _product_estimator(batch, nlat, nlon, convlstm=True,
+                             gate_dtype=gate_dtype)
     x0, init_days, mean_state, _ = est.prepare_inputs(np.arange(batch))
     product_rollout = est.rollout_fn(steps)
 
@@ -303,6 +307,19 @@ def main():
             )
         except Exception as e:
             print(f"convlstm bench failed: {e}", file=sys.stderr)
+        try:
+            # The SHIPPED serving configuration (bf16 gates, as-trained
+            # weights): the round-5 default-flip decision row, kept
+            # visible in every BENCH record alongside the as-trained
+            # scoring row above.
+            srv_gps, _ = bench_convlstm_rollout(gate_dtype="bfloat16")
+            print(
+                f"convlstm serving rollout (bf16 gates, canonical "
+                f"config, batch 64): {srv_gps / 1e6:.1f} Mgp/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"convlstm serving bench failed: {e}", file=sys.stderr)
     if os.environ.get("BENCH_SPHERICAL", "1") != "0":
         try:
             sph_gps = bench_spherical()

@@ -80,6 +80,8 @@ class TimeSeriesEstimator:
         deployments. Default ``None`` keeps the as-trained dtype so
         scoring paths (validate.py) measure the model as trained."""
         if gate_dtype is not None and getattr(model, "layer_specs", None):
+            import copy
+
             import jax.numpy as jnp
 
             gd = getattr(jnp, gate_dtype) if isinstance(gate_dtype, str) else gate_dtype
@@ -90,8 +92,19 @@ class TimeSeriesEstimator:
                     kw["gate_dtype"] = gd
                 specs.append((name, a, kw))
             params = model.trainer.params
-            model.build_model(specs)
-            model.trainer.params = params
+            # Rebuild on a shallow COPY: build_model replaces
+            # layer_specs/base_model/trainer wholesale, so the copy gets
+            # the bf16-gate stack while the caller's model keeps its
+            # as-trained dtype (and its original Trainer/config) — a
+            # serving estimator must not silently flip the model that
+            # scoring paths (validate.py) keep using.
+            served = copy.copy(model)
+            seq = getattr(
+                getattr(model, "_train_config", None), "sequence_steps", 1
+            )
+            served.build_model(specs, sequence_steps=seq)
+            served.trainer.params = params
+            model = served
         self.model = model
         self.sampler = sampler
         self._k = int(sampler._interval)

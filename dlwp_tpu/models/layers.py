@@ -15,6 +15,7 @@ convention throughout.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Sequence
 
@@ -168,6 +169,24 @@ class RowConv2D(nn.Module):
         return get_activation(self.activation)(y)
 
 
+# Unrolled-recurrence conv formulation: 'separate' = per-step input conv
+# (x_t * Wx, dilation d) + recurrent conv (h_t * Wh, dilation 1) as two
+# convolutions; 'joint' = ONE conv of concat([x_t, h_t], C) with a
+# channel-concatenated kernel (for d > 1 the input taps embed into the
+# equivalent dense (d*(k-1)+1)^2 window, zero-stuffed, with Wh centered
+# -- exact, same padding extent, tests/test_models.py). The joint form
+# halves the conv launches per recurrent step but at d=2 pays
+# (C+F)*25 vs C*9 + F*9 MACs; both convs are MXU-starved (K=108/N=48 at
+# the canonical config) so only full-model measurement decides.
+# Measured on TPU v5e (round 5b, perf_convlstm_joint.py, ABA through the
+# product rollout): joint 176.2 vs separate 150.6 Mgp/s = +17.0% at
+# 0.0% drift -- the convs are so MXU-starved that one 375-MAC conv beats
+# two totalling 135 MACs; launch/epilogue boundaries dominate, FLOPs are
+# free. Default 'joint'; override per-process via
+# DLWP_CONVLSTM_JOINT={joint,separate}.
+CONVLSTM_UNROLL_JOINT = "joint"
+
+
 class ConvLSTM2D(nn.Module):
     """Convolutional LSTM over (batch, T, C, H, W), spherical boundaries.
 
@@ -313,6 +332,35 @@ class ConvLSTM2D(nn.Module):
         # one full-resolution recurrent conv from the graph (the scan body
         # is compiled once and cannot exploit h0 = 0; measured 896 us per
         # h-conv at batch 64 on v5e, BASELINE.md).
+        # Joint zx+zh formulation for the unrolled steps t >= 1 (see
+        # CONVLSTM_UNROLL_JOINT above): z_t = conv(concat([x_t, h_t]), Wj)
+        # with Wj the channel-concatenated kernel -- Wx's dilated taps
+        # zero-stuffed into the dense equivalent window, Wh (dilation 1
+        # per Keras ConvLSTM2D recurrent-conv semantics) centered. The
+        # padding extent (d*(k-1)) matches the separate form exactly, so
+        # the boundary treatment (cyclic lon + lat_mode) is identical.
+        joint = (
+            unrolled
+            and impl == "xla"
+            and self.spatial is None
+            and os.environ.get("DLWP_CONVLSTM_JOINT", CONVLSTM_UNROLL_JOINT)
+            == "joint"
+        )
+        if joint:
+            k2h = dil[0] * (kh - 1) + 1
+            k2w = dil[1] * (kw - 1) + 1
+            Wj = jnp.zeros((4 * F, C + F, k2h, k2w), dt)
+            Wj = Wj.at[:, :C, :: dil[0], :: dil[1]].set(Wx)
+            rh0, rw0 = (k2h - kh) // 2, (k2w - kw) // 2
+            Wj = Wj.at[:, C:, rh0:rh0 + kh, rw0:rw0 + kw].set(Wh)
+
+            def step_joint(carry, t):
+                h, c = carry
+                z = (conv(jnp.concatenate([x[:, t], h], axis=-3), Wj)
+                     + bias[..., :, None, None])
+                h_new, c_new = gates(z, c)
+                return (h_new, c_new), h_new
+
         z0 = zx_of(0) if unrolled else zx_all[0]  # bias folded in
         if gd is not None:
             z0 = z0.astype(gd)
@@ -333,7 +381,8 @@ class ConvLSTM2D(nn.Module):
             # them away. Identical math to the scan branch (same `step`).
             carry, hs_list = (h1, c1), [h1]
             for t in range(1, T):
-                carry, h_t = step(carry, zx_of(t))
+                carry, h_t = (step_joint(carry, t) if joint
+                              else step(carry, zx_of(t)))
                 hs_list.append(h_t)
             if self.return_sequences:
                 # Stack batch-major directly (skips the time-major

@@ -349,11 +349,21 @@ class TestServingGateDtype:
         fc32 = est32.predict(3, samples=[0, 1])
 
         est16 = TimeSeriesEstimator(model, sampler, gate_dtype="bfloat16")
+        # The SERVED copy gets the bf16 gate chain...
         assert any(
             (s[2] or {}).get("gate_dtype") == jnp.bfloat16
+            for s in est16.model.layer_specs if s[0] == "ConvLSTM2D"
+        )
+        assert est16.model.trainer.params is params_before  # weights survive
+        # ...while the caller's model keeps its as-trained specs and
+        # trainer (round-5b fix: the serving estimator must not mutate
+        # the model that scoring paths keep using).
+        assert est16.model is not model
+        assert all(
+            (s[2] or {}).get("gate_dtype") is None
             for s in model.layer_specs if s[0] == "ConvLSTM2D"
         )
-        assert model.trainer.params is params_before  # weights survive
+        assert model.trainer.params is params_before
         fc16 = est16.predict(3, samples=[0, 1])
 
         assert fc16.values.shape == fc32.values.shape
@@ -361,3 +371,7 @@ class TestServingGateDtype:
         scale = np.sqrt(np.mean(fc32.values ** 2))
         dev = np.sqrt(np.mean((fc32.values - fc16.values) ** 2))
         assert 0 < dev < 0.05 * scale, (dev, scale)
+        # The caller's model still predicts the exact fp32 trajectory.
+        fc32b = TimeSeriesEstimator(model, sampler).predict(3,
+                                                           samples=[0, 1])
+        np.testing.assert_array_equal(fc32.values, fc32b.values)

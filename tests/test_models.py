@@ -79,6 +79,30 @@ class TestLayers:
         # option silently not being applied
         assert rms > 0.0
 
+    def test_convlstm_joint_unroll_equivalence(self, monkeypatch):
+        # The joint zx+zh conv formulation (one conv of concat([x_t, h_t])
+        # with the channel-concatenated kernel, input taps zero-stuffed to
+        # the dense dilated-equivalent window) must be EXACT vs the
+        # separate-conv form, including dilation > 1 and non-zero lat
+        # modes (same padding extent, so identical boundary treatment).
+        import dlwp_tpu.models.layers as layers_mod
+
+        for dil, lat_mode in [(1, "zero"), (2, "zero"), (2, "edge")]:
+            m = ConvLSTM2D(features=5, kernel_size=3, dilation=dil,
+                           lat_mode=lat_mode, return_sequences=True)
+            x = rand(2, 3, 4, 8, 16)  # T=3 -> unrolled branch
+            params = m.init(jax.random.PRNGKey(2), x)
+            monkeypatch.setattr(layers_mod, "CONVLSTM_UNROLL_JOINT",
+                                "separate")
+            y_sep = m.apply(params, x)
+            monkeypatch.setattr(layers_mod, "CONVLSTM_UNROLL_JOINT",
+                                "joint")
+            y_joint = m.apply(params, x)
+            np.testing.assert_allclose(
+                np.asarray(y_sep), np.asarray(y_joint), atol=2e-6,
+                err_msg=f"dil={dil} lat_mode={lat_mode}",
+            )
+
     def test_convlstm_temporal_dependence(self):
         # Output at t must depend on inputs at t' <= t only.
         m = ConvLSTM2D(features=4, kernel_size=3)
